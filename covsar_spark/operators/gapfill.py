@@ -1,0 +1,86 @@
+"""Gap-fill of missing acquisition epochs.
+
+Reference analogue: `griddata` interpolation over observed grid nodes
+(covsar/interpolate_phase.py:11-76) and the missing-pair edge-dropout model
+(covsar/graphs.py:6-46). Engine form (SURVEY.md J7/W4): per-source calendar
+`sequence` + `explode` LEFT JOIN observed rollup rows, then a fill policy:
+
+- ``zero``    — counts of nothing are zero (token_count=0, rate=0)
+- ``ffill``   — forward-fill rate from the last observed epoch
+- ``linear``  — linear interpolation of rate between lag/lead observed epochs
+
+Every filled row carries ``filled=true`` lineage.
+
+Scale notes: the calendar side is built from a per-source (min,max) aggregate
+— tiny — exploded to one row per grid slot; the join is on (source, epoch_s),
+the same key the rollup is already partitioned by, so with matching
+partitioning AQE keeps this a local join. The window functions for
+ffill/linear partition by source and order by epoch — one shuffle, bounded by
+grid size (epochs per source), not raw data size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from ..schemas import TIERS
+
+
+def calendar_grid(rollup: DataFrame, tier: str) -> DataFrame:
+    """Per-source dense epoch grid spanning that source's observed range."""
+    tier_s = TIERS[tier]
+    bounds = rollup.groupBy("source").agg(
+        F.min("epoch_s").alias("lo"), F.max("epoch_s").alias("hi")
+    )
+    return bounds.select(
+        "source",
+        F.explode(F.sequence("lo", "hi", F.lit(tier_s))).alias("epoch_s"),
+    )
+
+
+def gapfill(rollup: DataFrame, tier: str, policy: str = "zero") -> DataFrame:
+    """Densify a tier rollup to the full per-source calendar grid."""
+    tier_s = TIERS[tier]
+    grid = calendar_grid(rollup, tier)
+    j = grid.join(rollup, ["source", "epoch_s"], "left")
+    filled = F.col("token_count").isNull()
+
+    base = j.select(
+        "source",
+        "epoch_s",
+        F.coalesce("token_count", F.lit(0)).alias("token_count"),
+        F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+        "max_tok",
+        "min_tok",
+        F.col("rate"),
+        filled.alias("filled"),
+    )
+
+    if policy == "zero":
+        return base.withColumn("rate", F.coalesce("rate", F.lit(0.0)))
+
+    w_past = W.partitionBy("source").orderBy("epoch_s").rowsBetween(W.unboundedPreceding, 0)
+    if policy == "ffill":
+        return base.withColumn(
+            "rate",
+            F.coalesce(F.last("rate", ignorenulls=True).over(w_past), F.lit(0.0)),
+        )
+
+    if policy == "linear":
+        w_next = W.partitionBy("source").orderBy("epoch_s").rowsBetween(0, W.unboundedFollowing)
+        obs = F.when(~F.col("filled"), F.struct("epoch_s", "rate"))
+        prev = F.last(obs, ignorenulls=True).over(w_past)
+        nxt = F.first(obs, ignorenulls=True).over(w_next)
+        frac = (F.col("epoch_s") - prev["epoch_s"]) / (nxt["epoch_s"] - prev["epoch_s"])
+        interp = prev["rate"] + frac * (nxt["rate"] - prev["rate"])
+        return base.withColumn(
+            "rate",
+            F.when(~F.col("filled"), F.col("rate"))
+            .when(prev.isNotNull() & nxt.isNotNull(), interp)
+            .when(prev.isNotNull(), prev["rate"])
+            .when(nxt.isNotNull(), nxt["rate"])
+            .otherwise(F.lit(0.0)),
+        )
+
+    raise ValueError(f"unknown gap-fill policy: {policy}")
