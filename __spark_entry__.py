@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship pipeline (tokens -> tier rollups -> gap-fill
+-> lag-cov eigen kernel) over a deterministic synthetic tokens table derived
+from the sf0.001 documents parquet. `queries()` / `oracle_sql()` delegate to
+covsar_spark.contract (one entry per implemented operator, SURVEY.md §2).
 """
 
 from __future__ import annotations
@@ -12,27 +11,39 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _tokens_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic tokens table (BASELINE.json:input_hint shape) derived
+    from the driver's documents parquet: tokens = md5-hashed words."""
+    from covsar_spark.operators.text import md5_int40, words_col
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tokens = F.transform(words_col(), lambda w: F.pmod(md5_int40(w), F.lit(50257)).cast("int"))
+    return docs.select(
+        F.concat(F.lit("doc-"), F.lpad(F.col("doc_id").cast("string"), 12, "0")).alias("doc_id"),
+        tokens.alias("tokens"),
+        F.size(tokens).cast("int").alias("n_tok"),
+        "source",
+    )
 
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    from covsar_spark.plans.pipeline import flagship
+
+    tokens = _tokens_from_documents(spark, "/root/testdata/sf0.001")
+    return flagship(tokens).withColumn("eig", F.col("eig").cast("array<double>"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from covsar_spark.contract import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from covsar_spark.contract import ORACLE
+
+    return dict(ORACLE)

@@ -1,0 +1,127 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+The headline metric is the flagship tokens pipeline's rolled-up points/sec
+across all retention tiers (BASELINE.json:metric); per-query seconds cover
+the operator families. Run scripts/scaling.py for the N-vs-4N evidence.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+TOKENS_ROWS = int(os.environ.get("SPARK_GRAFT_TOKENS_ROWS", "100000"))
+
+BENCH_QUERIES = [
+    "rollup_1m",
+    "rollup_1h_cascade",
+    "gapfill_zero_1m",
+    "gapfill_ffill_1m",
+    "lag_diff",
+    "running_sum",
+    "sliding_avg",
+    "trend_slope",
+    "topk_per_group",
+    "sessionize",
+    "q1_pricing",
+    "region_revenue",
+    "epoch_pairs",
+    "triplets_consecutive",
+    "closure_regression",
+    "dedup_exact",
+    "jaccard_pairs",
+    "minhash_signatures",
+    "lsh_candidates",
+    "simhash",
+    "word_stats",
+    "quality_score",
+    "fingerprint",
+    "ann_cosine_topk",
+    "eigen_1m",
+    "compress_chunks",
+]
+
+
+def tokens_table(spark, n_rows: int):
+    """Deterministic synthetic tokens table (FIXTURES.md F1), generated once
+    to a local parquet cache so every bench run scans the same files."""
+    from covsar_spark.datagen import write_tokens
+
+    cache = f"/tmp/covsar_bench_tokens_{n_rows}"
+    if not os.path.exists(os.path.join(cache, "_DONE")):
+        write_tokens(cache, n_rows)
+        open(os.path.join(cache, "_DONE"), "w").close()
+    return spark.read.parquet(cache)
+
+
+def run_flagship(spark, n_rows: int) -> tuple[float, int]:
+    """Full tier pipeline; returns (seconds, rolled-up points across tiers)."""
+    from covsar_spark.plans.pipeline import run_tiers
+
+    tokens = tokens_table(spark, n_rows)
+    t0 = time.time()
+    tiers = run_tiers(tokens, with_eigen=True, with_chunks=True, persist=True)
+    total_points = 0
+    for tier, d in tiers.items():
+        total_points += d["filled"].count()
+        d["eigen"].count()
+        d["chunks"].count()
+    wall = time.time() - t0
+    for d in tiers.values():
+        d["rollup"].unpersist()
+    return wall, total_points
+
+
+def main():
+    from covsar_spark.contract import QUERIES
+    from covsar_spark.session import get_spark
+
+    spark = get_spark("covsar_bench", cores=CPUS, shuffle_partitions=CPUS)
+    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
+
+    # warm the JVM/Arrow paths once so per-query numbers measure the plan
+    spark.read.parquet(f"{SF_DIR}/events.parquet").count()
+
+    q_times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        q_times[name] = round(time.time() - t0, 3)
+
+    wall, points = run_flagship(spark, TOKENS_ROWS)
+    pps = points / wall if wall > 0 else 0.0
+    q_times["flagship_pipeline"] = round(wall, 3)
+
+    total = round(sum(q_times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total bench seconds (headline queries + flagship tiers pipeline)",
+                "value": total,
+                "unit": "sec",
+                "rolled_up_points_per_sec": round(pps, 1),
+                "flagship_wall_sec": round(wall, 3),
+                "flagship_points": points,
+                "tokens_rows": TOKENS_ROWS,
+                "queries": q_times,
+                "sf": sf,
+                "cpus": CPUS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

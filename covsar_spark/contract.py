@@ -1,0 +1,766 @@
+"""Driver contract: paired (Spark query, DuckDB oracle SQL) per operator from
+SURVEY.md §2. Consumed by __spark_entry__.py.
+
+Conventions that keep the order-insensitive value-hash comparison exact:
+- no timestamp outputs — window starts are unix seconds (Spark
+  `unix_timestamp(date_trunc(...))` == DuckDB `epoch(date_trunc(...))::BIGINT`)
+- every float aggregate is rounded (4-6 dp) AFTER the full computation and
+  cast to double on both sides (Spark literals otherwise produce Decimal)
+- hashing is md5-based: Spark `conv(substr(md5(x),1,N),16,10)` == DuckDB
+  `('0x'||substr(md5(x),1,N))::BIGINT` (verified bit-equal)
+- DuckDB integer sums are cast ::BIGINT (its SUM(int) widens to HUGEINT)
+- ranking ties are always broken by an id column
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from .operators import closure as closure_ops
+from .operators import dedup as dedup_ops
+from .operators import similarity as sim_ops
+from .operators import text as text_ops
+from .operators.gapfill import gapfill
+from .operators.rollup import cascade as tier_cascade
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLE[name] = sql
+        return fn
+
+    return deco
+
+
+def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _events_1m(spark, sf_dir) -> DataFrame:
+    """events -> per-(event_type, minute) rollup used by several operators.
+    Columns renamed to the engine's (source, epoch_s, token_count) shape so
+    rollup/gapfill/eigen operators apply unchanged."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.col("event_type").alias("source"),
+            F.unix_timestamp(F.date_trunc("minute", F.col("ts"))).alias("epoch_s"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("token_count"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.max(F.lit(None).cast("int")).alias("max_tok"),
+            F.min(F.lit(None).cast("int")).alias("min_tok"),
+        )
+        .withColumn("rate", F.round(F.col("token_count") / 60.0, 6))
+        .withColumn("filled", F.lit(False))
+    )
+
+
+_EV_1M_SQL = """
+  SELECT event_type AS source,
+         epoch(date_trunc('minute', ts))::BIGINT AS epoch_s,
+         count(*)::BIGINT AS token_count,
+         round(count(*) / 60.0, 6) AS rate
+  FROM events GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# A1/A7: tumbling-window rollups + continuous-aggregate cascade
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "rollup_1m",
+    f"SELECT source, epoch_s, token_count, rate FROM ({_EV_1M_SQL})",
+)
+def rollup_1m(spark, sf_dir):
+    return _events_1m(spark, sf_dir).select("source", "epoch_s", "token_count", "rate")
+
+
+@register(
+    "rollup_1h_cascade",
+    """
+    SELECT event_type AS source,
+           epoch(date_trunc('hour', ts))::BIGINT AS epoch_s,
+           count(*)::BIGINT AS token_count,
+           round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def rollup_1h_cascade(spark, sf_dir):
+    """1h tier computed FROM the 1m tier (relook analogue) — must equal the
+    oracle's direct 1h rollup exactly (integral counts re-add)."""
+    ev = _read(spark, sf_dir, "events")
+    m1 = ev.groupBy(
+        F.col("event_type").alias("source"),
+        F.unix_timestamp(F.date_trunc("minute", F.col("ts"))).alias("epoch_s"),
+    ).agg(F.count(F.lit(1)).alias("token_count"), F.sum("value").alias("sum_value"))
+    return (
+        m1.groupBy("source", (F.floor(F.col("epoch_s") / 3600) * 3600).cast("long").alias("epoch_s"))
+        .agg(
+            F.sum("token_count").alias("token_count"),
+            F.round(F.sum("sum_value"), 4).cast("double").alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "rollup_1d_cascade",
+    """
+    SELECT event_type AS source,
+           epoch(date_trunc('day', ts))::BIGINT AS epoch_s,
+           count(*)::BIGINT AS token_count,
+           round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def rollup_1d_cascade(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    h1 = ev.groupBy(
+        F.col("event_type").alias("source"),
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("epoch_s"),
+    ).agg(F.count(F.lit(1)).alias("token_count"), F.sum("value").alias("sum_value"))
+    return (
+        h1.groupBy("source", (F.floor(F.col("epoch_s") / 86400) * 86400).cast("long").alias("epoch_s"))
+        .agg(
+            F.sum("token_count").alias("token_count"),
+            F.round(F.sum("sum_value"), 4).cast("double").alias("sum_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J7/W4: gap-fill
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "gapfill_zero_1m",
+    f"""
+    WITH r AS ({_EV_1M_SQL}),
+    b AS (SELECT source, min(epoch_s) lo, max(epoch_s) hi FROM r GROUP BY 1),
+    grid AS (SELECT source, unnest(generate_series(lo, hi, 60)) AS epoch_s FROM b)
+    SELECT g.source, g.epoch_s,
+           coalesce(r.token_count, 0)::BIGINT AS token_count,
+           (r.token_count IS NULL) AS filled
+    FROM grid g LEFT JOIN r ON g.source = r.source AND g.epoch_s = r.epoch_s
+    """,
+)
+def gapfill_zero_1m(spark, sf_dir):
+    roll = _events_1m(spark, sf_dir)
+    return gapfill(roll, "1m", "zero").select("source", "epoch_s", "token_count", "filled")
+
+
+@register(
+    "gapfill_ffill_1m",
+    f"""
+    WITH r AS ({_EV_1M_SQL}),
+    b AS (SELECT source, min(epoch_s) lo, max(epoch_s) hi FROM r GROUP BY 1),
+    grid AS (SELECT source, unnest(generate_series(lo, hi, 60)) AS epoch_s FROM b)
+    SELECT g.source, g.epoch_s,
+           coalesce(r.rate, last_value(r.rate IGNORE NULLS) OVER (
+             PARTITION BY g.source ORDER BY g.epoch_s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS rate,
+           (r.token_count IS NULL) AS filled
+    FROM grid g LEFT JOIN r ON g.source = r.source AND g.epoch_s = r.epoch_s
+    """,
+)
+def gapfill_ffill_1m(spark, sf_dir):
+    roll = _events_1m(spark, sf_dir)
+    return gapfill(roll, "1m", "ffill").select("source", "epoch_s", "rate", "filled")
+
+
+# ---------------------------------------------------------------------------
+# W1/W2/W5: ordered window functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "lag_diff",
+    """
+    SELECT event_id, user_id,
+           round(value - lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 4) AS diff
+    FROM events
+    """,
+)
+def lag_diff(spark, sf_dir):
+    """Consecutive-pair difference (covsar/evd.py:44-57 analogue)."""
+    ev = _read(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 4).cast("double").alias("diff"),
+    )
+
+
+@register(
+    "running_sum",
+    """
+    SELECT event_id, user_id,
+           round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running
+    FROM events
+    """,
+)
+def running_sum(spark, sf_dir):
+    """Cumulative reduction over time per key (nearest-neighbor phase-linking
+    running product, covsar/pl/nn.py:5-9 — additive analogue)."""
+    ev = _read(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(W.unboundedPreceding, 0)
+    return ev.select(
+        "event_id", "user_id", F.round(F.sum("value").over(w), 4).cast("double").alias("running")
+    )
+
+
+@register(
+    "sliding_avg",
+    """
+    SELECT event_id, user_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING), 4) AS smooth
+    FROM events
+    """,
+)
+def sliding_avg(spark, sf_dir):
+    """Frame-spec'd box smoothing (multilook sliding view, covsar/library.py:303-317)."""
+    ev = _read(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 2)
+    return ev.select(
+        "event_id", "user_id", F.round(F.avg("value").over(w), 4).cast("double").alias("smooth")
+    )
+
+
+@register(
+    "trend_slope",
+    """
+    SELECT event_type,
+           round(regr_slope(value, floor(epoch(ts)) / 86400.0), 6) AS slope,
+           round(corr(value, floor(epoch(ts)) / 86400.0), 6) AS r
+    FROM events GROUP BY 1
+    """,
+)
+def trend_slope(spark, sf_dir):
+    """Per-key OLS trend fit (velocity/intensity-rate maps,
+    covsar/closure_inten.py:534-551) via closed-form regr_slope."""
+    ev = _read(spark, sf_dir, "events")
+    x = F.floor(F.unix_timestamp("ts") + F.lit(0)) / 86400.0
+    ev = ev.withColumn("x", x)
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("regr_slope(value, x)"), 6).cast("double").alias("slope"),
+        F.round(F.corr("value", "x"), 6).cast("double").alias("r"),
+    )
+
+
+@register(
+    "topk_per_group",
+    """
+    SELECT event_type, rank, event_id FROM (
+      SELECT event_type, event_id,
+             row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rank
+      FROM events) WHERE rank <= 3
+    """,
+)
+def topk_per_group(spark, sf_dir):
+    """Top-K per group (argmax family, covsar/optimize_kappa.py:56)."""
+    ev = _read(spark, sf_dir, "events")
+    w = W.partitionBy("event_type").orderBy(F.col("value").desc(), F.col("event_id").asc())
+    return (
+        ev.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("event_type", "rank", "event_id")
+    )
+
+
+@register(
+    "sessionize",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN floor(epoch(ts)) - floor(epoch(lag(ts) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id))) > 1800
+               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS new_s
+      FROM events)
+    SELECT user_id, sum(new_s)::BIGINT AS n_sessions FROM g GROUP BY 1
+    """,
+)
+def sessionize(spark, sf_dir):
+    """Sessionization: gap > 30 min starts a new session."""
+    ev = _read(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_s = F.when(
+        prev.isNull() | (F.unix_timestamp("ts") - F.unix_timestamp(prev) > 1800), 1
+    ).otherwise(0)
+    return ev.select("user_id", new_s.alias("new_s")).groupBy("user_id").agg(
+        F.sum("new_s").alias("n_sessions")
+    )
+
+
+@register(
+    "json_extract",
+    """
+    SELECT json_extract_string(props, '$.k')::BIGINT % 10 AS k_mod,
+           count(*)::BIGINT AS n, round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1
+    """,
+)
+def json_extract(spark, sf_dir):
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k_mod", F.get_json_object("props", "$.k").cast("long") % 10)
+        .groupBy("k_mod")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).cast("double").alias("sum_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Classic scan/agg/join coverage (S/P/J/A rows) on the TPC-H-ish tables
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+           round(avg(l_quantity), 4) AS avg_qty,
+           count(*)::BIGINT AS n
+    FROM lineitem WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
+    GROUP BY 1, 2
+    """,
+)
+def q1_pricing(spark, sf_dir):
+    li = _read(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= "1998-09-02")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).cast("double").alias("sum_base"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .cast("double")
+            .alias("sum_disc"),
+            F.round(F.avg("l_quantity"), 4).cast("double").alias("avg_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "region_revenue",
+    """
+    SELECT r.r_name, round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*)::BIGINT AS n
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY 1
+    """,
+)
+def region_revenue(spark, sf_dir):
+    """Broadcast-join chain: fact -> 3 small dims (J3/J4)."""
+    li = _read(spark, sf_dir, "lineitem")
+    su = _read(spark, sf_dir, "supplier")
+    na = _read(spark, sf_dir, "nation")
+    re = _read(spark, sf_dir, "region")
+    return (
+        li.join(F.broadcast(su), li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@register(
+    "semi_anti_join",
+    """
+    SELECT 'with_orders' AS side, count(*)::BIGINT AS n
+    FROM customer c WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    UNION ALL
+    SELECT 'without_orders' AS side, count(*)::BIGINT AS n
+    FROM customer c WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+)
+def semi_anti_join(spark, sf_dir):
+    cu = _read(spark, sf_dir, "customer")
+    od = _read(spark, sf_dir, "orders").select("o_custkey")
+    semi = cu.join(od, cu.c_custkey == od.o_custkey, "left_semi").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("with_orders").alias("side"), "n")
+    anti = cu.join(od, cu.c_custkey == od.o_custkey, "left_anti").agg(
+        F.count(F.lit(1)).alias("n")
+    ).select(F.lit("without_orders").alias("side"), "n")
+    return semi.unionByName(anti)
+
+
+# ---------------------------------------------------------------------------
+# J1/J2/W6: pairs, triplets, closure regression (CovSAR specialty)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "epoch_pairs",
+    f"""
+    WITH r AS ({_EV_1M_SQL})
+    SELECT a.source, a.epoch_s AS e_i, b.epoch_s AS e_j,
+           ((b.epoch_s - a.epoch_s) / 60)::BIGINT AS lag,
+           (a.token_count * b.token_count)::BIGINT AS pair_prod,
+           round(ln((a.token_count + 1.0) / (b.token_count + 1.0)), 6) AS log_ratio
+    FROM r a JOIN r b ON a.source = b.source
+      AND b.epoch_s > a.epoch_s AND b.epoch_s <= a.epoch_s + 180
+    """,
+)
+def epoch_pairs(spark, sf_dir):
+    roll = _events_1m(spark, sf_dir)
+    return closure_ops.epoch_pairs(roll, "1m", max_lag=3)
+
+
+@register(
+    "triplets_consecutive",
+    f"""
+    WITH r AS ({_EV_1M_SQL})
+    SELECT a.source, a.epoch_s AS e_i,
+           (a.token_count - 2 * b.token_count + c.token_count)::BIGINT AS closure,
+           round((a.token_count + b.token_count + c.token_count) / 3.0, 6) AS level
+    FROM r a
+    JOIN r b ON a.source = b.source AND b.epoch_s = a.epoch_s + 60
+    JOIN r c ON a.source = c.source AND c.epoch_s = a.epoch_s + 120
+    """,
+)
+def triplets_consecutive(spark, sf_dir):
+    roll = _events_1m(spark, sf_dir)
+    return closure_ops.consecutive_triplets(roll, "1m")
+
+
+@register(
+    "closure_regression",
+    f"""
+    WITH r AS ({_EV_1M_SQL}),
+    t AS (
+      SELECT a.source, (a.token_count - 2 * b.token_count + c.token_count) AS closure,
+             round((a.token_count + b.token_count + c.token_count) / 3.0, 6) AS level
+      FROM r a
+      JOIN r b ON a.source = b.source AND b.epoch_s = a.epoch_s + 60
+      JOIN r c ON a.source = c.source AND c.epoch_s = a.epoch_s + 120)
+    SELECT source, count(*)::BIGINT AS n_triplets,
+           round(covar_samp(closure, level) /
+                 nullif(stddev_samp(closure) * stddev_samp(level), 0.0), 6) AS pearson_r,
+           round(covar_samp(closure, level) / nullif(var_samp(level), 0.0), 6) AS slope,
+           round(sqrt(avg(closure * closure)), 6) AS rmse
+    FROM t GROUP BY 1
+    """,
+)
+def closure_regression(spark, sf_dir):
+    roll = _events_1m(spark, sf_dir)
+    return closure_ops.closure_regression(closure_ops.consecutive_triplets(roll, "1m"))
+
+
+# ---------------------------------------------------------------------------
+# Dedup suite on documents (training-data pipeline, SURVEY.md §2 extension)
+# ---------------------------------------------------------------------------
+
+_WORDS_SQL = r"string_split_regex(trim(text), '\s+')"
+_SHINGLES_SQL = rf"""
+  w AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
+  g AS (SELECT doc_id, words,
+               unnest(generate_series(1, greatest(len(words) - 2, 0))) AS i FROM w),
+  shingles AS (SELECT DISTINCT doc_id,
+               words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle FROM g)
+"""
+
+
+@register(
+    "dedup_exact",
+    "SELECT md5(text) AS h, min(doc_id)::BIGINT AS keep_id, count(*)::BIGINT AS n_copies "
+    "FROM documents GROUP BY 1",
+)
+def dedup_exact(spark, sf_dir):
+    return dedup_ops.exact_dedup(_read(spark, sf_dir, "documents"))
+
+
+@register(
+    "jaccard_pairs",
+    f"""
+    WITH {_SHINGLES_SQL},
+    sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM shingles GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*)::BIGINT AS n_common
+      FROM shingles a JOIN shingles b
+        ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, n_common,
+           round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.1
+    """,
+)
+def jaccard_pairs(spark, sf_dir):
+    return dedup_ops.jaccard_pairs(_read(spark, sf_dir, "documents"), k=3, threshold=0.1)
+
+
+@register(
+    "minhash_signatures",
+    f"""
+    WITH {_SHINGLES_SQL},
+    hashed AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 10))::BIGINT AS h
+               FROM shingles),
+    params AS (SELECT unnest(generate_series(0, 15)) AS hash_id),
+    p2 AS (SELECT hash_id, (2 * hash_id + 3)::BIGINT AS a, (7 * hash_id + 1)::BIGINT AS b
+           FROM params)
+    SELECT doc_id, hash_id::INT AS hash_id,
+           min((a * h + b) % 2147483647)::BIGINT AS minhash
+    FROM hashed CROSS JOIN p2 GROUP BY 1, 2
+    """,
+)
+def minhash_signatures(spark, sf_dir):
+    return dedup_ops.minhash_signatures(_read(spark, sf_dir, "documents"))
+
+
+@register(
+    "lsh_candidates",
+    f"""
+    WITH {_SHINGLES_SQL},
+    hashed AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 10))::BIGINT AS h
+               FROM shingles),
+    params AS (SELECT unnest(generate_series(0, 15)) AS hash_id),
+    p2 AS (SELECT hash_id, (2 * hash_id + 3)::BIGINT AS a, (7 * hash_id + 1)::BIGINT AS b
+           FROM params),
+    sig AS (SELECT doc_id, hash_id, min((a * h + b) % 2147483647)::BIGINT AS minhash
+            FROM hashed CROSS JOIN p2 GROUP BY 1, 2),
+    bk AS (SELECT doc_id, (hash_id // 4)::INT AS band,
+                  md5(string_agg(hash_id || ':' || minhash, ','
+                      ORDER BY hash_id || ':' || minhash)) AS bkey
+           FROM sig GROUP BY 1, 2)
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bk a JOIN bk b
+      ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+    """,
+)
+def lsh_candidates(spark, sf_dir):
+    return dedup_ops.lsh_candidates(_read(spark, sf_dir, "documents"))
+
+
+@register(
+    "simhash",
+    rf"""
+    WITH wx AS (SELECT doc_id, unnest({_WORDS_SQL}) AS word FROM documents),
+    h AS (SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS h FROM wx),
+    bits AS (SELECT unnest(generate_series(0, 59)) AS bit),
+    v AS (SELECT doc_id, bit,
+                 sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+          FROM h CROSS JOIN bits GROUP BY 1, 2)
+    SELECT doc_id, sum(CASE WHEN vote > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT
+           AS simhash
+    FROM v GROUP BY 1
+    """,
+)
+def simhash(spark, sf_dir):
+    return dedup_ops.simhash(_read(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis on documents
+# ---------------------------------------------------------------------------
+
+_STOPWORDS_SQL = "('" + "', '".join(text_ops.EN_STOPWORDS) + "')"
+
+
+@register(
+    "word_stats",
+    rf"""
+    SELECT doc_id,
+           len({_WORDS_SQL})::BIGINT AS n_words,
+           n_chars::BIGINT AS n_chars,
+           len(list_distinct({_WORDS_SQL}))::BIGINT AS n_uniq_words,
+           length(regexp_replace(text, '[^.,;:!?]', '', 'g'))::BIGINT AS n_punct
+    FROM documents
+    """,
+)
+def word_stats(spark, sf_dir):
+    d = text_ops.word_stats(_read(spark, sf_dir, "documents"))
+    return d.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        "n_chars",
+        F.col("n_uniq_words").cast("long").alias("n_uniq_words"),
+        F.col("n_punct").cast("long").alias("n_punct"),
+    )
+
+
+@register(
+    "quality_score",
+    rf"""
+    WITH w AS (SELECT doc_id, text, {_WORDS_SQL} AS words FROM documents),
+    s AS (SELECT doc_id, len(words) AS n_words,
+                 len(list_filter(words, x -> lower(x) IN {_STOPWORDS_SQL})) AS n_stop,
+                 len(list_distinct(words)) AS n_uniq,
+                 length(regexp_replace(trim(text), '\s+', '', 'g')) AS n_alpha
+          FROM w)
+    SELECT doc_id, n_words::BIGINT AS n_words,
+           round(n_stop / n_words, 6) AS stopword_ratio,
+           round(n_uniq / n_words, 6) AS uniq_ratio,
+           round(n_alpha / n_words, 6) AS mean_word_len,
+           ((CASE WHEN n_alpha / n_words BETWEEN 3 AND 10 THEN 1 ELSE 0 END)
+            + (CASE WHEN n_stop / n_words >= 0.05 THEN 1 ELSE 0 END)
+            + (CASE WHEN n_uniq / n_words >= 0.3 THEN 1 ELSE 0 END)
+            + (CASE WHEN n_words >= 10 THEN 1 ELSE 0 END))::INT AS quality
+    FROM s
+    """,
+)
+def quality_score(spark, sf_dir):
+    d = text_ops.quality_score(_read(spark, sf_dir, "documents"))
+    return d.withColumn("n_words", F.col("n_words").cast("long"))
+
+
+@register(
+    "lang_id",
+    rf"""
+    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
+    s AS (SELECT doc_id,
+                 len(list_filter(words, x -> lower(x) IN {_STOPWORDS_SQL}))
+                   / len(words) AS ratio
+          FROM w)
+    SELECT doc_id, round(ratio, 6) AS stopword_ratio,
+           CASE WHEN ratio >= 0.03 THEN 'en' ELSE 'unk' END AS lang_pred
+    FROM s
+    """,
+)
+def lang_id(spark, sf_dir):
+    return text_ops.lang_id(_read(spark, sf_dir, "documents"))
+
+
+@register(
+    "fingerprint",
+    rf"""
+    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
+    g AS (SELECT doc_id, words,
+                 unnest(generate_series(1, greatest(len(words) - 1, 0))) AS i FROM w),
+    bg AS (SELECT doc_id, words[i] || ' ' || words[i+1] AS bg FROM g)
+    SELECT doc_id, bit_xor(('0x' || substr(md5(bg), 1, 15))::BIGINT) AS fp
+    FROM bg GROUP BY 1
+    """,
+)
+def fingerprint(spark, sf_dir):
+    return text_ops.fingerprint(_read(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search on embeddings
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "ann_cosine_topk",
+    """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 5),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    s AS (SELECT query_id, neighbor_id,
+                 list_cosine_similarity(qv, cv) AS sim
+          FROM q CROSS JOIN c WHERE neighbor_id <> query_id),
+    r AS (SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, neighbor_id) AS rank
+          FROM s)
+    SELECT query_id, rank::BIGINT AS rank, neighbor_id FROM r WHERE rank <= 10
+    """,
+)
+def ann_cosine_topk(spark, sf_dir):
+    r = sim_ops.cosine_topk(_read(spark, sf_dir, "embeddings"), n_queries=5, k=10)
+    return r.withColumn("rank", F.col("rank").cast("long"))
+
+
+@register(
+    "embedding_norms",
+    """
+    SELECT vec_id, label,
+           round(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4)
+             AS norm
+    FROM embeddings
+    """,
+)
+def embedding_norms(spark, sf_dir):
+    emb = _read(spark, sf_dir, "embeddings")
+    dot = F.aggregate(
+        F.zip_with("embedding", "embedding", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return emb.select("vec_id", "label", F.round(F.sqrt(dot), 4).cast("double").alias("norm"))
+
+
+# ---------------------------------------------------------------------------
+# Kernel ops (non-SQL-expressible): rows-only checks; exactness is proven in
+# pytest against the NumPy oracle instead (tests/test_eigen_kernel.py etc.)
+# ---------------------------------------------------------------------------
+
+
+@register("eigen_1m")
+def eigen_1m(spark, sf_dir):
+    from .operators.eigen import eigen_rollup
+
+    roll = gapfill(_events_1m(spark, sf_dir), "1m", "zero")
+    e = eigen_rollup(roll, "1m")
+    return e.select(
+        "source", "span_s", "n_epochs",
+        F.round("lam", 6).cast("double").alias("lam"),
+        F.round("tc", 6).cast("double").alias("tc"),
+    )
+
+
+@register("compress_chunks")
+def compress_chunks(spark, sf_dir):
+    from .operators.compress import compress_rollup
+
+    roll = gapfill(_events_1m(spark, sf_dir), "1m", "zero")
+    ch = compress_rollup(roll, "1m", value_col="rate")
+    return ch.select(
+        "source", "span_s", "n_points",
+        F.length("ts_blob").alias("ts_bytes"),
+        F.length("val_blob").alias("val_bytes"),
+    )
+
+
+@register("tier_cascade_1h")
+def tier_cascade_1h(spark, sf_dir):
+    """Engine cascade operator applied to the events-derived rollup."""
+    return tier_cascade(_events_1m(spark, sf_dir), "1h").select(
+        "source", "epoch_s", "token_count", "n_docs"
+    )
+
+
+@register("ann_lsh_topk")
+def ann_lsh_topk(spark, sf_dir):
+    r = sim_ops.lsh_topk(_read(spark, sf_dir, "embeddings"), n_queries=5, k=10)
+    return r.withColumn("rank", F.col("rank").cast("long"))
+
+
+@register("multimodal_features")
+def multimodal_features(spark, sf_dir):
+    from .operators.multimodal import extract_features, synth_media
+
+    feats = extract_features(synth_media(spark, n=64))
+    return feats.select("media_id", "kind", "payload_sha", F.size("feat").alias("dim"))

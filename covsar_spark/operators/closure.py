@@ -1,0 +1,126 @@
+"""Triplet/closure operators — the CovSAR specialty, re-expressed relationally.
+
+Reference semantics:
+- pairwise interferogram formation = self-join of the epoch axis with itself,
+  upper triangle j > i (covsar/covariance.py:27-43) ........... `epoch_pairs`
+- triplet enumeration (i,j,k) + per-triplet closure and intensity-triplet
+  stacks (covsar/closures.py:48-71, covsar/closure_inten.py:205-218;
+  intensity triplet = nested difference, covsar/library.py:239-272)
+  ............................................... `consecutive_triplets`
+- the consecutive-chain mask (covsar/closures.py:303-310) is the W6 filter
+  j = i+1, k = j+1 — it bounds the relational size to O(epochs), which is
+  what makes the 3-way self-join scale (full C(N,3) enumeration stays
+  group-local inside kernels, never relational).
+- closure-vs-intensity regression per pixel (covsar/closure_inten.py:250-256)
+  = grouped corr + regr_slope .......................... `closure_regression`
+- least-norm inversion of fitted closures back to per-pair errors via the
+  triplets->pairs design matrix pseudo-inverse (covsar/closures.py:271-292,
+  design matrix construction covsar/closures.py:74-115)
+  .................................... `design_matrix` / `invert_closures`
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..schemas import TIERS
+
+
+def epoch_pairs(roll: DataFrame, tier: str, max_lag: int = 3) -> DataFrame:
+    """Self-join on (source), theta-join on epoch: pairs (i, j), 1 <= j-i <=
+    max_lag epochs, projecting the product and log-ratio of window rates —
+    the relational form of interferogram formation x_i * conj(x_j)."""
+    tier_s = TIERS[tier]
+    a = roll.select("source", F.col("epoch_s").alias("e_i"), F.col("token_count").alias("v_i"))
+    b = roll.select("source", F.col("epoch_s").alias("e_j"), F.col("token_count").alias("v_j"))
+    lag = ((F.col("e_j") - F.col("e_i")) / tier_s).cast("long")
+    return (
+        a.join(b, "source")
+        .filter((F.col("e_j") > F.col("e_i")) & (F.col("e_j") <= F.col("e_i") + max_lag * tier_s))
+        .select(
+            "source",
+            "e_i",
+            "e_j",
+            lag.alias("lag"),
+            (F.col("v_i") * F.col("v_j")).cast("long").alias("pair_prod"),
+            F.round(
+                F.log((F.col("v_i") + F.lit(1.0)) / (F.col("v_j") + F.lit(1.0))), 6
+            ).alias("log_ratio"),
+        )
+    )
+
+
+def consecutive_triplets(roll: DataFrame, tier: str) -> DataFrame:
+    """Chain triplets (i, i+1, i+2): 3-way equi-join on computed epoch keys.
+
+    closure   = v_i - 2*v_j + v_k  (nested difference — the real-valued
+                intensity-triplet analogue, covsar/library.py:239-272)
+    level     = (v_i + v_j + v_k) / 3
+    """
+    tier_s = TIERS[tier]
+    a = roll.select("source", F.col("epoch_s").alias("e_i"), F.col("token_count").alias("v_i"))
+    b = roll.select("source", (F.col("epoch_s") - tier_s).alias("e_i"), F.col("token_count").alias("v_j"))
+    c = roll.select("source", (F.col("epoch_s") - 2 * tier_s).alias("e_i"), F.col("token_count").alias("v_k"))
+    return (
+        a.join(b, ["source", "e_i"])
+        .join(c, ["source", "e_i"])
+        .select(
+            "source",
+            "e_i",
+            (F.col("v_i") - 2 * F.col("v_j") + F.col("v_k")).alias("closure"),
+            F.round((F.col("v_i") + F.col("v_j") + F.col("v_k")) / 3.0, 6).alias("level"),
+        )
+    )
+
+
+def closure_regression(triplets: DataFrame) -> DataFrame:
+    """Per-source Pearson r + OLS slope of closure on level
+    (covsar/closure_inten.py:250-256 regression, as grouped aggregates)."""
+    # explicit covar/stddev formula with nullif guards: identical on both
+    # engines and NULL (not an ANSI error) for degenerate zero-variance groups
+    return triplets.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_triplets"),
+        F.round(
+            F.expr(
+                "covar_samp(closure, level) / nullif(stddev_samp(closure) * stddev_samp(level), 0.0)"
+            ),
+            6,
+        ).alias("pearson_r"),
+        F.round(
+            F.expr("covar_samp(closure, level) / nullif(var_samp(level), 0.0)"), 6
+        ).alias("slope"),
+        F.round(F.sqrt(F.avg(F.col("closure") * F.col("closure"))), 6).alias("rmse"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Least-norm closure inversion (numpy kernel; covsar/closures.py:271-292)
+# ---------------------------------------------------------------------------
+
+
+def design_matrix(n: int) -> tuple[np.ndarray, list[tuple[int, int]], list[tuple[int, int, int]]]:
+    """Triplets -> pairs incidence A (T x P): closure_t = e_ij + e_jk - e_ik.
+
+    Proper integer indexing instead of the reference's stringified f'{i}{j}'
+    keys (buggy for N > 10, covsar/closures.py:88-94)."""
+    pairs = list(combinations(range(n), 2))
+    pidx = {p: c for c, p in enumerate(pairs)}
+    trips = list(combinations(range(n), 3))
+    A = np.zeros((len(trips), len(pairs)))
+    for t, (i, j, k) in enumerate(trips):
+        A[t, pidx[(i, j)]] = 1.0
+        A[t, pidx[(j, k)]] = 1.0
+        A[t, pidx[(i, k)]] = -1.0
+    return A, pairs, trips
+
+
+def invert_closures(closures: np.ndarray, n: int) -> np.ndarray:
+    """Least-norm per-pair errors from per-triplet closures: e = A^+ c
+    (pseudo-inverse solve, covsar/closures.py:284-292). Exactly consistent:
+    A @ e reproduces any closure vector in range(A)."""
+    A, _, _ = design_matrix(n)
+    return np.linalg.pinv(A) @ np.asarray(closures, dtype=np.float64)

