@@ -68,17 +68,21 @@ def run_flagship(spark, n_rows: int) -> tuple[float, int]:
     """Full tier pipeline; returns (seconds, rolled-up points across tiers)."""
     from covsar_spark.plans.pipeline import run_tiers
 
+    from functools import reduce
+
     tokens = tokens_table(spark, n_rows)
     t0 = time.time()
     tiers = run_tiers(tokens, with_eigen=True, with_chunks=True, persist=True)
-    total_points = 0
-    for tier, d in tiers.items():
-        total_points += d["filled"].count()
-        d["eigen"].count()
-        d["chunks"].count()
+    # single action per output family: tiers materialize concurrently
+    filled_all = reduce(lambda a, b: a.unionByName(b), [d["filled"] for d in tiers.values()])
+    fused_all = reduce(lambda a, b: a.unionByName(b), [d["fused"] for d in tiers.values()])
+    total_points = filled_all.count()
+    fused_all.count()
     wall = time.time() - t0
     for d in tiers.values():
-        d["rollup"].unpersist()
+        for key in ("rollup", "filled", "fused"):
+            if key in d:
+                d[key].unpersist()
     return wall, total_points
 
 

@@ -24,29 +24,38 @@ SOURCES = [
 ]
 VOCAB = 50257
 MAX_LEN = 2048
-
-# Zipf-ish source weights — deliberately skewed so salting paths are exercised
-_W = 1.0 / np.arange(1, len(SOURCES) + 1) ** 1.1
-_W /= _W.sum()
+# source weights are Zipf-ish (computed in gen_tokens) — deliberately skewed
+# so salting paths are exercised
 
 
-def stable_ts_offset(doc_ids: list[str] | np.ndarray) -> np.ndarray:
+def stable_ts_offset(doc_ids: list[str] | np.ndarray, horizon_s: int = HORIZON_S) -> np.ndarray:
     """crc32(doc_id) % horizon — matches Spark's `crc32` builtin exactly."""
     return np.array(
-        [zlib.crc32(d.encode()) % HORIZON_S for d in doc_ids], dtype=np.int64
+        [zlib.crc32(d.encode()) % horizon_s for d in doc_ids], dtype=np.int64
     )
 
 
-def gen_tokens(n_rows: int, seed: int = 42) -> dict[str, np.ndarray | list]:
-    """F1 tokens table as columnar arrays."""
+def gen_tokens(
+    n_rows: int, seed: int = 42, n_sources: int = 0, payload_tokens: bool = True
+) -> dict[str, np.ndarray | list]:
+    """F1 tokens table as columnar arrays. ``n_sources`` > 16 switches to
+    synthetic source names (bench-scale runs that need a wider key space).
+    ``payload_tokens=False`` stubs each tokens array to one element while
+    keeping the full lognormal ``n_tok`` — ONLY for scale benchmarks where
+    the pipeline provably never scans the tokens column (column pruning);
+    correctness fixtures always carry real payloads."""
     rng = np.random.default_rng(seed)
     doc_id = np.array([f"doc-{i:012d}" for i in range(n_rows)])
     lens = np.clip(rng.lognormal(4.0, 1.2, n_rows).astype(np.int64), 1, MAX_LEN)
-    flat = rng.integers(0, VOCAB, size=int(lens.sum()), dtype=np.int32)
+    stored = lens if payload_tokens else np.ones(n_rows, dtype=np.int64)
+    flat = rng.integers(0, VOCAB, size=int(stored.sum()), dtype=np.int32)
     offsets = np.zeros(n_rows + 1, dtype=np.int64)
-    np.cumsum(lens, out=offsets[1:])
-    src_idx = rng.choice(len(SOURCES), size=n_rows, p=_W)
-    source = np.array(SOURCES, dtype=object)[src_idx]
+    np.cumsum(stored, out=offsets[1:])
+    names = SOURCES if n_sources <= len(SOURCES) else [f"s{i:03d}" for i in range(n_sources)]
+    w = 1.0 / np.arange(1, len(names) + 1) ** 1.1
+    w /= w.sum()
+    src_idx = rng.choice(len(names), size=n_rows, p=w)
+    source = np.array(names, dtype=object)[src_idx]
     return {
         "doc_id": doc_id,
         "flat_tokens": flat,
@@ -104,15 +113,22 @@ def apply_gaps(cols: dict) -> dict:
     }
 
 
-def write_tokens(out_dir: str, n_rows: int, seed: int = 42, gappy: bool = False) -> str:
+def write_tokens(
+    out_dir: str,
+    n_rows: int,
+    seed: int = 42,
+    gappy: bool = False,
+    n_sources: int = 0,
+    payload_tokens: bool = True,
+) -> str:
     """Write the F1 (or F2) table as a parquet dir; returns the path."""
-    cols = gen_tokens(n_rows, seed)
+    cols = gen_tokens(n_rows, seed, n_sources=n_sources, payload_tokens=payload_tokens)
     if gappy:
         cols = apply_gaps(cols)
     os.makedirs(out_dir, exist_ok=True)
     tbl = _to_arrow(cols)
     # several row groups / files so Spark gets real parallelism on scan
-    n_files = max(1, min(8, n_rows // 10000))
+    n_files = max(1, min(32, n_rows // 10000))
     step = (tbl.num_rows + n_files - 1) // n_files
     for f in range(n_files):
         part = tbl.slice(f * step, step)

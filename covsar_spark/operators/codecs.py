@@ -257,3 +257,141 @@ def decode_xor(blob: bytes, n: int) -> np.ndarray:
         prev = prev ^ x
         out[i] = prev
     return out.view(np.float64)
+
+
+# ---------------------------------------------------------------------------
+# Segmented many-span encoders: encode EVERY span of an Arrow batch in one
+# vectorized pass (the hot path at 10^12-sequence scale — per-span encode
+# calls pay ~50us of numpy dispatch each; 100k spans/batch make that the
+# bottleneck). Formats are BYTE-IDENTICAL to encode_dod / encode_xor; each
+# span's bitstream is padded to a byte boundary and sliced out of one buffer.
+# ---------------------------------------------------------------------------
+
+
+def _segmented_pack(vals: np.ndarray, nbits: np.ndarray, seg_ids: np.ndarray, n_segs: int) -> list[bytes]:
+    """Pack fields (in stream order, tagged by segment) into per-segment
+    big-endian byte strings. Fully vectorized scatter."""
+    if n_segs == 0:
+        return []
+    if nbits.dtype != np.int64:
+        nbits = nbits.astype(np.int64)
+    nf = len(nbits)
+    cs = np.zeros(nf + 1, dtype=np.int64)
+    np.cumsum(nbits, out=cs[1:])
+    starts = np.searchsorted(seg_ids, np.arange(n_segs), "left")
+    ends = np.concatenate([starts[1:], [nf]])
+    seg_bits = cs[ends] - cs[starts]
+    seg_bytes = (seg_bits + 7) // 8
+    seg_byte_off = np.zeros(n_segs + 1, dtype=np.int64)
+    np.cumsum(seg_bytes, out=seg_byte_off[1:])
+    total_bytes = int(seg_byte_off[-1])
+    if nf:
+        off_in_seg = cs[:-1] - cs[starts][seg_ids]
+        abs_off = seg_byte_off[seg_ids] * 8 + off_in_seg
+        words = np.zeros(total_bytes // 8 + 2, dtype=_U64)
+        w = (abs_off >> 6).astype(np.int64)
+        s = (abs_off & 63).astype(np.int64)
+        first = np.minimum(64 - s, nbits)
+        rem = nbits - first
+        part1 = (vals >> rem.view(_U64)) << (64 - s - first).view(_U64)
+        np.add.at(words, w, part1)
+        m2 = rem > 0
+        if m2.any():
+            r = rem[m2].view(_U64)
+            low = vals[m2] & ((_ONE << r) - _ONE)
+            np.add.at(words, w[m2] + 1, low << (_U64(64) - r))
+        buf = words.byteswap().tobytes()[: total_bytes]
+    else:
+        buf = b""
+    return [buf[seg_byte_off[i] : seg_byte_off[i + 1]] for i in range(n_segs)]
+
+
+def _seg_layout(lens: np.ndarray):
+    n_segs = len(lens)
+    total = int(lens.sum())
+    seg_of = np.repeat(np.arange(n_segs), lens)
+    starts = np.zeros(n_segs + 1, dtype=np.int64)
+    np.cumsum(lens, out=starts[1:])
+    pos_in_seg = np.arange(total, dtype=np.int64) - starts[:-1][seg_of]
+    return total, seg_of, pos_in_seg
+
+
+def encode_xor_many(vals_list: list[np.ndarray]) -> list[bytes]:
+    lens = np.array([len(a) for a in vals_list], dtype=np.int64)
+    n_segs = len(lens)
+    total, seg_of, pos = _seg_layout(lens)
+    if total == 0:
+        return [b""] * n_segs
+    v = np.concatenate([np.ascontiguousarray(a, dtype=np.float64) for a in vals_list]).view(_U64)
+    prev = np.empty_like(v)
+    prev[1:] = v[:-1]
+    prev[0] = 0
+    x = v ^ prev
+    is_first = pos == 0
+    x[is_first] = 0  # ignored; fields masked below
+    lead = np.minimum(_clz64(x), 31)
+    trail = _ctz64(x)
+    zero = x == 0
+    mlen = np.where(zero, 1, 64 - lead - np.where(zero, 0, trail))
+    mean = np.where(zero, _U64(0), x >> np.minimum(trail, 63).view(_U64))
+    ctrl = np.where(zero, _U64(0), _U64(1))
+    hdr = (lead.view(_U64) << _U64(6)) | (mlen - 1).view(_U64)
+    # 3 slots per element (element-major order == stream order)
+    fv = np.empty(3 * total, dtype=_U64)
+    fn = np.zeros(3 * total, dtype=np.int64)
+    fv[0::3] = np.where(is_first, v, ctrl)
+    fn[0::3] = np.where(is_first, 64, 1)
+    fv[1::3] = hdr
+    fn[1::3] = np.where(is_first | zero, 0, 11)
+    fv[2::3] = mean
+    fn[2::3] = np.where(is_first | zero, 0, mlen)
+    fseg = np.repeat(seg_of, 3)
+    keep = fn > 0
+    return _segmented_pack(fv[keep], fn[keep], fseg[keep], n_segs)
+
+
+def encode_dod_many(ts_list: list[np.ndarray]) -> list[bytes]:
+    lens = np.array([len(a) for a in ts_list], dtype=np.int64)
+    n_segs = len(lens)
+    total, seg_of, pos = _seg_layout(lens)
+    if total == 0:
+        return [b""] * n_segs
+    ts = np.concatenate([np.ascontiguousarray(a, dtype=np.int64) for a in ts_list])
+    d = np.empty_like(ts)
+    d[1:] = ts[1:] - ts[:-1]
+    d[0] = 0
+    dprev = np.empty_like(d)
+    dprev[1:] = d[:-1]
+    dprev[0] = 0
+    dod = d - dprev
+    r0 = pos == 0
+    r1 = pos == 1
+    rn = pos >= 2
+    # bucket the dod codes (only meaningful where rn)
+    ctrl = np.zeros(total, dtype=_U64)
+    cbits = np.full(total, 1, dtype=np.int64)
+    pay = np.zeros(total, dtype=_U64)
+    pbits = np.zeros(total, dtype=np.int64)
+    done = dod == 0
+    for bias, pb, cv, cb in _DOD_BUCKETS:
+        m = ~done & (dod >= -bias) & (dod <= bias + 1)
+        ctrl[m] = _U64(cv)
+        cbits[m] = cb
+        pay[m] = (dod[m] + bias).view(_U64)
+        pbits[m] = pb
+        done |= m
+    m = ~done
+    ctrl[m] = _U64(0b1111)
+    cbits[m] = 4
+    pay[m] = dod[m].view(_U64)
+    pbits[m] = 64
+    # 2 slots per element
+    fv = np.empty(2 * total, dtype=_U64)
+    fn = np.zeros(2 * total, dtype=np.int64)
+    fv[0::2] = np.where(r0, ts.view(_U64), np.where(r1, d.view(_U64), ctrl))
+    fn[0::2] = np.where(r0 | r1, 64, np.where(rn, cbits, 0))
+    fv[1::2] = pay
+    fn[1::2] = np.where(rn, pbits, 0)
+    fseg = np.repeat(seg_of, 2)
+    keep = fn > 0
+    return _segmented_pack(fv[keep], fn[keep], fseg[keep], n_segs)

@@ -66,7 +66,9 @@ def lagcov_eig(x: np.ndarray, p: int = EIGEN_P) -> tuple[float, float, np.ndarra
 
 def lagcov_eig_batch(series: list[np.ndarray], p: int = EIGEN_P):
     """Batched variant: groups whose series share a length run through ONE
-    `eigh` call on a (B, P, P) stack (covsar/library.py:121-128 pattern)."""
+    strided-view + batched-gemm + batched-`eigh` call, fully vectorized
+    including the gauge fix (covsar/library.py:121-128 pattern, but with no
+    per-span Python at all)."""
     out = [None] * len(series)
     by_len: dict[int, list[int]] = {}
     for i, s in enumerate(series):
@@ -78,21 +80,32 @@ def lagcov_eig_batch(series: list[np.ndarray], p: int = EIGEN_P):
                 out[i] = (0.0, 0.0, np.zeros(0))
             continue
         m = n - p_eff + 1
-        Xs = np.stack(
-            [np.lib.stride_tricks.sliding_window_view(np.asarray(series[i], np.float64), m) for i in idxs]
+        B = len(idxs)
+        stack = np.empty((B, n), dtype=np.float64)
+        for b, i in enumerate(idxs):
+            stack[b] = series[i]
+        # contiguous copy: the strided-view gemm uses a different BLAS
+        # micro-kernel than the contiguous one and breaks bit-equality with
+        # the single-span oracle path (exact-match gate, SURVEY.md §7.4)
+        Xs = np.ascontiguousarray(
+            np.lib.stride_tricks.sliding_window_view(stack, m, axis=1)
         )  # (B, p_eff, m)
         G = Xs @ Xs.transpose(0, 2, 1) / m
         w, V = np.linalg.eigh(G)  # batched
         lam = w[:, -1]
-        vecs = V[:, :, -1]
-        tr = np.trace(G, axis1=1, axis2=2)
+        vecs = V[:, :, -1].copy()
+        tr = np.trace(G, axis1=1, axis2=2)  # same summation order as the
+        # single-span oracle path (einsum orders differently -> tc bit-drift)
+        # vectorized gauge: flip rows whose first |.|>eps element is negative
+        big = np.abs(vecs) > _GAUGE_EPS
+        has = big.any(axis=1)
+        first = np.argmax(big, axis=1)
+        signs = vecs[np.arange(B), first]
+        flip = has & (signs < 0)
+        vecs[flip] *= -1.0
+        tc = np.where(tr > _GAUGE_EPS, lam / np.where(tr > _GAUGE_EPS, tr, 1.0), 0.0)
         for b, i in enumerate(idxs):
-            v = vecs[b].copy()
-            nz = np.nonzero(np.abs(v) > _GAUGE_EPS)[0]
-            if nz.size and v[nz[0]] < 0:
-                v = -v
-            tc = float(lam[b] / tr[b]) if tr[b] > _GAUGE_EPS else 0.0
-            out[i] = (float(lam[b]), tc, v)
+            out[i] = (float(lam[b]), float(tc[b]), vecs[b])
     return out
 
 

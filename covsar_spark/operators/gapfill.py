@@ -27,15 +27,45 @@ from pyspark.sql import functions as F
 from ..schemas import TIERS
 
 
+CHUNK_STEPS = 1440  # grid slots exploded per chunk row
+
+
 def calendar_grid(rollup: DataFrame, tier: str) -> DataFrame:
-    """Per-source dense epoch grid spanning that source's observed range."""
+    """Per-source dense epoch grid spanning that source's observed range.
+
+    Two-level explode: bounds (one row per source) -> chunk rows of at most
+    CHUNK_STEPS slots -> grid slots. A single-level explode would fan a
+    multi-week grid out of a handful of bounds rows sitting in one partition
+    — zero parallelism on exactly the operator that produces the most rows.
+    The chunk explode is repartitioned so slot generation spreads across the
+    cluster.
+    """
     tier_s = TIERS[tier]
+    chunk_s = tier_s * CHUNK_STEPS
     bounds = rollup.groupBy("source").agg(
         F.min("epoch_s").alias("lo"), F.max("epoch_s").alias("hi")
     )
-    return bounds.select(
+    sess = rollup.sparkSession
+    n_part = int(sess.conf.get("spark.sql.shuffle.partitions", "32"))
+    chunks = bounds.select(
         "source",
-        F.explode(F.sequence("lo", "hi", F.lit(tier_s))).alias("epoch_s"),
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(
+                (F.floor(F.col("lo") / chunk_s) * chunk_s).cast("long"), "hi", F.lit(chunk_s)
+            )
+        ).alias("c"),
+    ).repartition(n_part)
+    return chunks.select(
+        "source",
+        F.explode(
+            F.sequence(
+                F.greatest("c", "lo"),
+                F.least(F.col("c") + (chunk_s - tier_s), F.col("hi")),
+                F.lit(tier_s),
+            )
+        ).alias("epoch_s"),
     )
 
 

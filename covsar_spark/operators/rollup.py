@@ -25,11 +25,11 @@ from pyspark.sql import functions as F
 from ..schemas import EPOCH0_UNIX, HORIZON_S, TIERS
 
 
-def with_event_time(tokens: DataFrame) -> DataFrame:
+def with_event_time(tokens: DataFrame, horizon_s: int = HORIZON_S) -> DataFrame:
     """Derive deterministic event time (FIXTURES.md F1): epoch0 +
     crc32(doc_id) % horizon. Computed, never stored — token arrays pass
     through byte-identical. `crc32` is a JVM builtin (zlib-compatible)."""
-    epoch = F.lit(EPOCH0_UNIX) + F.pmod(F.crc32(F.col("doc_id").cast("binary")), F.lit(HORIZON_S))
+    epoch = F.lit(EPOCH0_UNIX) + F.pmod(F.crc32(F.col("doc_id").cast("binary")), F.lit(horizon_s))
     return tokens.withColumn("epoch_s", epoch.cast("long")).withColumn(
         "ts", F.timestamp_seconds(F.col("epoch_s"))
     )

@@ -29,22 +29,66 @@ def run_tiers(
     salt_buckets: int = 0,
     with_eigen: bool = True,
     with_chunks: bool = False,
+    with_filled: bool = True,
     persist: bool = True,
+    persist_fused: bool = True,
+    horizon_s: int | None = None,
+    kernel_path: str = "tier",  # "tier" = single-shuffle sentinel kernel;
+    # "fused" = relational gapfill + repartition-sorted eigen/codec kernel
 ) -> dict[str, dict[str, DataFrame]]:
     """Returns per tier: {"rollup", "filled", "eigen"?, "chunks"?}."""
-    ts = with_event_time(tokens)
+    from ..schemas import HORIZON_S
+
+    ts = with_event_time(tokens, horizon_s or HORIZON_S)
     out: dict[str, dict[str, DataFrame]] = {}
     finer: DataFrame | None = None
     for tier in TIERS:
         roll = rollup_tokens(ts, tier, salt_buckets) if finer is None else cascade(finer, tier)
         if persist:
             roll = roll.persist(StorageLevel.MEMORY_AND_DISK)
-        filled = gapfill(roll, tier, policy)
-        d: dict[str, DataFrame] = {"rollup": roll, "filled": filled}
-        if with_eigen:
-            d["eigen"] = eigen_rollup(filled, tier)
-        if with_chunks:
-            d["chunks"] = compress_rollup(filled, tier)
+        d: dict[str, DataFrame] = {"rollup": roll}
+        if policy == "zero" and with_eigen and with_chunks and kernel_path == "tier":
+            # single-shuffle fast path: gap-fill + eigen + codec in one
+            # kernel pass (operators/tier_kernel.py); bit-identical to the
+            # relational path (tests/test_tier_kernel.py)
+            from ..operators.tier_kernel import split_outputs, tier_kernel
+
+            k = tier_kernel(roll, tier, emit_points=with_filled)
+            if persist and persist_fused:
+                # only when several outputs are materialized separately —
+                # a single consumer (e.g. chunk write) should stream through
+                k = k.persist(StorageLevel.MEMORY_AND_DISK)
+            if with_filled:
+                filled, eig, chunks = split_outputs(k)
+                d.update({"fused": k, "filled": filled, "eigen": eig, "chunks": chunks})
+            else:
+                d.update(
+                    {
+                        "fused": k,
+                        "eigen": k.select("source", "span_s", "n_epochs", "lam", "tc", "eig"),
+                        "chunks": k.select("source", "span_s", "n_points", "ts_blob", "val_blob"),
+                    }
+                )
+        else:
+            filled = gapfill(roll, tier, policy)
+            if persist:
+                # multiple consumers branch from the gap-filled tier —
+                # without this the grid join + fill windows re-execute each
+                filled = filled.persist(StorageLevel.MEMORY_AND_DISK)
+            d["filled"] = filled
+            if with_eigen and with_chunks:
+                from ..operators.fused import eigen_chunks
+
+                fused = eigen_chunks(filled, tier)
+                if persist:
+                    fused = fused.persist(StorageLevel.MEMORY_AND_DISK)
+                d["fused"] = fused
+                d["eigen"] = fused.select("source", "span_s", "n_epochs", "lam", "tc", "eig")
+                d["chunks"] = fused.select("source", "span_s", "n_points", "ts_blob", "val_blob")
+            elif with_eigen:
+                d["eigen"] = eigen_rollup(filled, tier)
+            elif with_chunks:
+                d["chunks"] = compress_rollup(filled, tier)
         out[tier] = d
         finer = roll
     return out

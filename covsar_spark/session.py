@@ -29,20 +29,39 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
 
+    # Pin BLAS/OMP to one thread per Python worker: N workers x M BLAS
+    # threads oversubscribes the box and anti-scales the eigh/matmul kernels
+    # (parallelism comes from Spark tasks, not from BLAS).
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+
     builder = (
         SparkSession.builder.master(f"local[{cores}]")
         .appName(app_name)
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        # bound the Arrow batch so grouped-map kernels (N x N Gram per group)
-        # never materialize unbounded pandas frames in the Python worker
-        # (CovSAR chunks eigh batches for the same reason, library.py:121-127)
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # bound the Arrow batch: small enough that the vectorized kernels'
+        # temporaries stay cache-resident (the encoders are memory-bandwidth
+        # bound), large enough to amortize dispatch (CovSAR chunks its eigh
+        # batches for the same reason, library.py:121-127)
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # measured: G1 inflates executor CPU up to 5x under 8+ concurrent
+        # tasks in one local JVM (allocation-heavy shuffle+Arrow paths);
+        # throughput-oriented ParallelGC cut the flagship wall ~20%
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        # local mode: shuffle through tmpfs when present (a real cluster sets
+        # its own local dirs; this only affects the sandbox benchmarks)
+        .config(
+            "spark.local.dir",
+            "/dev/shm/spark-tmp" if os.path.isdir("/dev/shm") else "/tmp",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

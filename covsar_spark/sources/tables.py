@@ -22,7 +22,9 @@ from pyspark.sql import functions as F
 
 def _has_iceberg(spark: SparkSession) -> bool:
     try:
-        spark._jvm.org.apache.iceberg.Table  # noqa: SLF001
+        # attribute access on _jvm returns a lazy JavaPackage even for
+        # missing classes — force real classloading
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.Table")  # noqa: SLF001
         return True
     except Exception:
         return False
