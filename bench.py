@@ -47,6 +47,9 @@ BENCH_QUERIES = [
     "quality_score",
     "fingerprint",
     "ann_cosine_topk",
+    "near_dup_cosine",
+    "high_pass_ratio",
+    "gapfill_linear_1m",
     "eigen_1m",
     "compress_chunks",
 ]

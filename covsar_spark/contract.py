@@ -764,3 +764,159 @@ def multimodal_features(spark, sf_dir):
 
     feats = extract_features(synth_media(spark, n=64))
     return feats.select("media_id", "kind", "payload_sha", F.size("feat").alias("dim"))
+
+
+# ---------------------------------------------------------------------------
+# Batch 3: tier joins, sampling, set collection, complex-expr surface
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "high_pass_ratio",
+    f"""
+    WITH m AS ({_EV_1M_SQL}),
+    h AS (SELECT source, (epoch_s // 3600) * 3600 AS span_s,
+                 sum(token_count)::BIGINT AS h_count
+          FROM m GROUP BY 1, 2)
+    SELECT m.source, m.epoch_s,
+           round(m.token_count / (h.h_count / 60.0), 6) AS ratio
+    FROM m JOIN h ON m.source = h.source AND (m.epoch_s // 3600) * 3600 = h.span_s
+    """,
+)
+def high_pass_ratio(spark, sf_dir):
+    """Fine-vs-coarse tier elementwise ratio (high_pass analogue,
+    covsar/high_pass.py:128-143): each 1m point against its hour's mean —
+    an as-of/window-aligned tier join."""
+    m = _events_1m(spark, sf_dir)
+    h = (
+        m.groupBy("source", (F.floor(F.col("epoch_s") / 3600) * 3600).cast("long").alias("span_s"))
+        .agg(F.sum("token_count").alias("h_count"))
+    )
+    m2 = m.withColumn("span_s", (F.floor(F.col("epoch_s") / 3600) * 3600).cast("long"))
+    return m2.join(h, ["source", "span_s"]).select(
+        "source",
+        "epoch_s",
+        F.round(F.col("token_count") / (F.col("h_count") / 60.0), 6).cast("double").alias("ratio"),
+    )
+
+
+@register(
+    "decimation",
+    f"""
+    WITH m AS ({_EV_1M_SQL})
+    SELECT source, epoch_s, token_count FROM m WHERE (epoch_s / 60) % 7 = 0
+    """,
+)
+def decimation(spark, sf_dir):
+    """Stride decimation [::s] (covsar/covariance.py:18) as a deterministic
+    modulus predicate — pushdown-friendly, unlike TABLESAMPLE."""
+    m = _events_1m(spark, sf_dir)
+    return m.filter(F.pmod(F.col("epoch_s") / 60, F.lit(7)) == 0).select(
+        "source", "epoch_s", "token_count"
+    )
+
+
+@register(
+    "collect_epochs",
+    f"""
+    WITH m AS ({_EV_1M_SQL})
+    SELECT source, count(*)::BIGINT AS n_epochs,
+           md5(string_agg(epoch_s || ':' || token_count, ','
+               ORDER BY epoch_s || ':' || token_count)) AS digest
+    FROM m GROUP BY 1
+    """,
+)
+def collect_epochs(spark, sf_dir):
+    """np.unique + per-group gather (covsar/closure_inten.py:471-475):
+    collect_list per key, canonically (string-)ordered, digested."""
+    m = _events_1m(spark, sf_dir)
+    item = F.concat_ws(":", F.col("epoch_s"), F.col("token_count"))
+    return m.select("source", item.alias("item")).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_epochs"),
+        F.md5(F.concat_ws(",", F.sort_array(F.collect_list("item")))).alias("digest"),
+    )
+
+
+@register(
+    "intensity_db",
+    f"""
+    WITH m AS ({_EV_1M_SQL})
+    SELECT source, epoch_s, round(10 * log10(token_count + 1), 6) AS db
+    FROM m
+    """,
+)
+def intensity_db(spark, sf_dir):
+    """get_intensity 10*log10 mapping (covsar/covariance.py:66-67)."""
+    m = _events_1m(spark, sf_dir)
+    return m.select(
+        "source",
+        "epoch_s",
+        F.round(F.log10(F.col("token_count") + 1) * 10, 6).cast("double").alias("db"),
+    )
+
+
+@register(
+    "near_dup_cosine",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           (a.label = b.label) AS same_label
+    FROM e a JOIN e b ON a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+    """,
+)
+def near_dup_cosine(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (threshold 0.35), Arrow-batched:
+    the all-pairs scan uses the vectorized `pair_cosine` pandas UDF (the JVM
+    higher-order fold is interpreted per element — ~1000x slower here)."""
+    from covsar_spark.operators.similarity import pair_cosine
+
+    emb = _read(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), F.col("label").alias("la"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), F.col("label").alias("lb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", pair_cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("sim") >= 0.35)
+        .select("id_a", "id_b", (F.col("la") == F.col("lb")).alias("same_label"))
+    )
+
+
+@register(
+    "gapfill_linear_1m",
+    f"""
+    WITH r AS ({_EV_1M_SQL}),
+    b AS (SELECT source, min(epoch_s) lo, max(epoch_s) hi FROM r GROUP BY 1),
+    grid AS (SELECT source, unnest(generate_series(lo, hi, 60)) AS epoch_s FROM b),
+    j AS (SELECT g.source, g.epoch_s, r.rate,
+                 (r.rate IS NULL) AS filled
+          FROM grid g LEFT JOIN r ON g.source = r.source AND g.epoch_s = r.epoch_s),
+    w AS (SELECT source, epoch_s, rate, filled,
+                 last_value(CASE WHEN NOT filled THEN epoch_s END IGNORE NULLS) OVER
+                   (PARTITION BY source ORDER BY epoch_s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pe,
+                 last_value(CASE WHEN NOT filled THEN rate END IGNORE NULLS) OVER
+                   (PARTITION BY source ORDER BY epoch_s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pr,
+                 first_value(CASE WHEN NOT filled THEN epoch_s END IGNORE NULLS) OVER
+                   (PARTITION BY source ORDER BY epoch_s
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ne,
+                 first_value(CASE WHEN NOT filled THEN rate END IGNORE NULLS) OVER
+                   (PARTITION BY source ORDER BY epoch_s
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nr
+          FROM j)
+    SELECT source, epoch_s,
+           round(CASE WHEN NOT filled THEN rate
+                WHEN pe IS NOT NULL AND ne IS NOT NULL THEN
+                  pr + (epoch_s - pe) / (ne - pe) * (nr - pr)
+                WHEN pe IS NOT NULL THEN pr
+                WHEN ne IS NOT NULL THEN nr
+                ELSE 0.0 END, 6) AS rate,
+           filled
+    FROM w
+    """,
+)
+def gapfill_linear_1m(spark, sf_dir):
+    roll = _events_1m(spark, sf_dir)
+    out = gapfill(roll, "1m", "linear")
+    return out.select("source", "epoch_s", F.round("rate", 6).cast("double").alias("rate"), "filled")

@@ -98,10 +98,18 @@ def gapfill(rollup: DataFrame, tier: str, policy: str = "zero") -> DataFrame:
         )
 
     if policy == "linear":
-        w_next = W.partitionBy("source").orderBy("epoch_s").rowsBetween(0, W.unboundedFollowing)
+        # "next observed" via cumulative last over DESCENDING epoch: an
+        # unbounded-FOLLOWING frame would make Spark recompute the aggregate
+        # per row (O(n^2) per partition); both frames here are running
+        # frames (O(n))
+        w_next = (
+            W.partitionBy("source")
+            .orderBy(F.col("epoch_s").desc())
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
         obs = F.when(~F.col("filled"), F.struct("epoch_s", "rate"))
         prev = F.last(obs, ignorenulls=True).over(w_past)
-        nxt = F.first(obs, ignorenulls=True).over(w_next)
+        nxt = F.last(obs, ignorenulls=True).over(w_next)
         frac = (F.col("epoch_s") - prev["epoch_s"]) / (nxt["epoch_s"] - prev["epoch_s"])
         interp = prev["rate"] + frac * (nxt["rate"] - prev["rate"])
         return base.withColumn(
