@@ -76,11 +76,13 @@ def run_flagship(spark, n_rows: int) -> tuple[float, int]:
     tokens = tokens_table(spark, n_rows)
     t0 = time.time()
     tiers = run_tiers(tokens, with_eigen=True, with_chunks=True, persist=True)
-    # single action per output family: tiers materialize concurrently
+    # single action per output family: tiers materialize concurrently; noop
+    # sink forces every output column (count() would prune)
     filled_all = reduce(lambda a, b: a.unionByName(b), [d["filled"] for d in tiers.values()])
     fused_all = reduce(lambda a, b: a.unionByName(b), [d["fused"] for d in tiers.values()])
-    total_points = filled_all.count()
-    fused_all.count()
+    filled_all.write.format("noop").mode("overwrite").save()
+    total_points = filled_all.count()  # cached by now; cheap
+    fused_all.write.format("noop").mode("overwrite").save()
     wall = time.time() - t0
     for d in tiers.values():
         for key in ("rollup", "filled", "fused"):
@@ -104,7 +106,9 @@ def main():
         fn = QUERIES[name]
         t0 = time.time()
         df = fn(spark, SF_DIR)
-        n = df.count()
+        # noop sink: materializes EVERY output column — a bare count() lets
+        # Catalyst prune the projections being measured
+        df.write.format("noop").mode("overwrite").save()
         q_times[name] = round(time.time() - t0, 3)
 
     wall, points = run_flagship(spark, TOKENS_ROWS)
