@@ -866,20 +866,12 @@ def intensity_db(spark, sf_dir):
     """,
 )
 def near_dup_cosine(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (threshold 0.35), Arrow-batched:
-    the all-pairs scan uses the vectorized `pair_cosine` pandas UDF (the JVM
-    higher-order fold is interpreted per element — ~1000x slower here)."""
-    from covsar_spark.operators.similarity import pair_cosine
+    """Embedding-cosine near-duplicate pairs (threshold 0.35) via broadcast
+    block matmul (see operators/similarity.near_dup_pairs: the pair-join
+    formulation ships O(pairs x dim) bytes through Arrow)."""
+    from covsar_spark.operators.similarity import near_dup_pairs
 
-    emb = _read(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), F.col("label").alias("la"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), F.col("label").alias("lb"))
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", pair_cosine(F.col("va"), F.col("vb")))
-        .filter(F.col("sim") >= 0.35)
-        .select("id_a", "id_b", (F.col("la") == F.col("lb")).alias("same_label"))
-    )
+    return near_dup_pairs(_read(spark, sf_dir, "embeddings"), threshold=0.35)
 
 
 @register(

@@ -120,3 +120,52 @@ def lsh_topk(emb: DataFrame, n_queries: int = 5, k: int = 10, n_planes: int = 8)
         .filter(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id")
     )
+
+
+def near_dup_pairs(emb: DataFrame, threshold: float = 0.35) -> DataFrame:
+    """All-pairs cosine near-duplicates via block matmul: the corpus matrix
+    (ids + L2-normalized vectors) is broadcast once, each Arrow batch of rows
+    multiplies against it with one gemm, and only over-threshold pairs
+    (id_a < id_b) are emitted.
+
+    The pair-join formulation ships BOTH vectors per candidate pair through
+    Arrow (O(pairs x dim) bytes — 12 GB at 5k vectors); this ships each
+    vector once plus the broadcast matrix. At cluster scale the corpus side
+    shards into broadcast blocks (classic block-nested-loop ANN).
+    """
+    sess = emb.sparkSession
+    rows = emb.select("vec_id", "embedding", "label").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    labels = {int(r["vec_id"]): r["label"] for r in rows}
+    M = np.stack([np.asarray(r["embedding"], np.float64) for r in rows])
+    M /= np.linalg.norm(M, axis=1, keepdims=True)
+    b_ids = sess.sparkContext.broadcast(ids)
+    b_m = sess.sparkContext.broadcast(M)
+    b_lab = sess.sparkContext.broadcast(labels)
+
+    def op(it):
+        import pandas as pd
+
+        cid = b_ids.value
+        cm = b_m.value
+        lab = b_lab.value
+        for pdf in it:
+            A = np.stack([np.asarray(v, np.float64) for v in pdf["embedding"]])
+            A /= np.linalg.norm(A, axis=1, keepdims=True)
+            sims = A @ cm.T  # (batch, corpus)
+            aid = pdf["vec_id"].to_numpy(np.int64)
+            mask = (sims >= threshold) & (aid[:, None] < cid[None, :])
+            ai, ci = np.nonzero(mask)
+            ia = aid[ai]
+            ib = cid[ci]
+            yield pd.DataFrame(
+                {
+                    "id_a": ia,
+                    "id_b": ib,
+                    "same_label": [lab[int(x)] == lab[int(y)] for x, y in zip(ia, ib)],
+                }
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        op, "id_a long, id_b long, same_label boolean"
+    )
