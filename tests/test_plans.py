@@ -1,0 +1,90 @@
+"""Physical-plan assertions: the optimizations the engine depends on must be
+visible in `explain` output — filters pushed to the parquet scan, small dims
+broadcast, map-side partial aggregation, no nested-loop joins on the pair
+operators (the regressions these guard were all real, see BENCH.md)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_to_parquet(spark):
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    q = li.filter(F.col("l_shipdate") <= "1997-01-01").select("l_orderkey", "l_quantity")
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # column pruning: the scan must read only the 3 referenced columns
+    rs = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in rs and "l_shipdate" in rs and "l_quantity" in rs
+    assert "l_extendedprice" not in rs and "l_partkey" not in rs
+
+
+def test_dim_join_is_broadcast(spark):
+    from covsar_spark.contract import QUERIES
+
+    plan = _plan(QUERIES["region_revenue"](spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # three tiny dims must all broadcast
+
+
+def test_rollup_has_partial_aggregation(spark):
+    from covsar_spark.contract import QUERIES
+
+    plan = _plan(QUERIES["rollup_1m"](spark, "/root/testdata/sf0.001"))
+    # partial_count before the exchange = map-side combine
+    assert "partial_count" in plan or "partial_" in plan
+    assert plan.count("Exchange") >= 1
+
+
+def test_epoch_pairs_is_not_nested_loop(spark):
+    """The bounded-lag pair join must stay a hash/sort join — the theta form
+    silently degraded to BroadcastNestedLoopJoin (46s at sf0.1)."""
+    from covsar_spark.contract import QUERIES
+
+    plan = _plan(QUERIES["epoch_pairs"](spark, "/root/testdata/sf0.001"))
+    assert "NestedLoopJoin" not in plan
+
+
+def test_no_python_eval_in_text_ops(spark):
+    """Text ops are pure column expressions: no row-at-a-time Python nodes
+    (higher-order array lambdas legitimately run outside WholeStageCodegen,
+    but never as Python)."""
+    from covsar_spark.contract import QUERIES
+
+    plan = _plan(QUERIES["quality_score"](spark, "/root/testdata/sf0.001"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_whole_stage_codegen_on_q1(spark):
+    from covsar_spark.contract import QUERIES
+
+    import contextlib
+    import io
+
+    df = QUERIES["q1_pricing"](spark, "/root/testdata/sf0.001")
+    # AQE's pre-execution plan hides the codegen wrappers; the codegen
+    # explain mode reports the generated subtrees directly
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("codegen")
+    assert "WholeStageCodegen" in buf.getvalue()
+    assert "BatchEvalPython" not in _plan(df)
+
+
+def test_tier_kernel_single_exchange(spark, tiny_cols):
+    """The fast-path tier kernel must add exactly ONE exchange beyond the
+    input (its repartition) — the sentinel branch reuses the rollup."""
+    from covsar_spark.operators.rollup import rollup_tokens, with_event_time
+    from covsar_spark.operators.tier_kernel import tier_kernel
+    from .conftest import cols_to_spark
+
+    roll = rollup_tokens(with_event_time(cols_to_spark(spark, tiny_cols)), "1m")
+    plan = _plan(tier_kernel(roll, "1m", emit_points=False))
+    # exactly one wide kernel shuffle; no join in the kernel's data path
+    # (the sentinel branch is a union, not a join)
+    assert plan.count("REPARTITION_BY_NUM") == 1
+    assert "SortMergeJoin" not in plan and "NestedLoopJoin" not in plan

@@ -42,3 +42,28 @@ def test_multimodal_plumbing(spark):
     assert (m["payload_sha"] == m2["payload_sha"]).all()
     fs = frame_sample(media, every=10).toPandas()
     assert set(fs["frame_idx"]) == {0, 10, 20}  # n_frames=30
+
+
+def test_stateful_totals_match_batch(spark, tmp_path):
+    """applyInPandasWithState running totals: the LAST update per source must
+    equal the batch aggregate exactly (integral state)."""
+    from covsar_spark.streaming.stateful import run_stateful_to_memory
+
+    path = str(tmp_path / "tok_state")
+    write_tokens(path, 2000, seed=42)
+    out = run_stateful_to_memory(spark, path, name="t_stateful").toPandas()
+    # multiple update rows per source (one per micro-batch); take the final
+    final = out.sort_values("total_docs").groupby("source").tail(1)
+    batch = (
+        spark.read.parquet(path)
+        .groupBy("source")
+        .agg({"n_tok": "sum", "*": "count"})
+        .toPandas()
+        .rename(columns={"sum(n_tok)": "t", "count(1)": "d"})
+        .set_index("source")
+    )
+    assert len(final) == len(batch)
+    for _, r in final.iterrows():
+        assert int(r["total_tokens"]) == int(batch.loc[r["source"], "t"])
+        assert int(r["total_docs"]) == int(batch.loc[r["source"], "d"])
+    assert (out.groupby("source").size() >= 1).all()
