@@ -476,6 +476,131 @@ def closure_regression(spark, sf_dir):
     return closure_ops.closure_regression(closure_ops.consecutive_triplets(roll, "1m"))
 
 
+# ranked span epochs over the 1m rollup: 10-minute spans, first 10 epochs
+# (files[:N] limit analogue) — shared CTE for the full-triplet/inversion suite
+_RANKED_SQL = f"""
+    r AS ({_EV_1M_SQL}),
+    rk AS (SELECT source, (epoch_s // 600) * 600 AS span_s, epoch_s,
+                  token_count AS v,
+                  row_number() OVER (PARTITION BY source, (epoch_s // 600) * 600
+                                     ORDER BY epoch_s) - 1 AS idx
+           FROM r),
+    k AS (SELECT * FROM rk WHERE idx < 10),
+    nn AS (SELECT source, span_s, count(*) AS n FROM k GROUP BY 1, 2)
+"""
+
+
+@register(
+    "triplets_full",
+    f"""
+    WITH {_RANKED_SQL}
+    SELECT a.source, a.span_s, a.idx AS i, b.idx AS j, c.idx AS k,
+           round(cbrt(a.v - b.v) + cbrt(b.v - c.v) - cbrt(a.v - c.v), 6) AS closure,
+           round((10 * log10(a.v + 1.0) - 10 * log10(b.v + 1.0))
+                 - (10 * log10(b.v + 1.0) - 10 * log10(c.v + 1.0)), 6) AS amp_triplet
+    FROM k a
+    JOIN k b ON a.source = b.source AND a.span_s = b.span_s AND b.idx > a.idx
+    JOIN k c ON a.source = c.source AND a.span_s = c.span_s AND c.idx > b.idx
+    """,
+)
+def triplets_full(spark, sf_dir):
+    """Full C(N,3) triplet enumeration + closure + intensity-triplet
+    regressor, evaluated distributed (covsar/closure_inten.py:205-218)."""
+    return closure_ops.full_triplets(_events_1m(spark, sf_dir), span_s=600, max_epochs=10)
+
+
+@register(
+    "closure_invert",
+    f"""
+    WITH {_RANKED_SQL},
+    p AS (SELECT a.source, a.span_s, nn.n, a.idx AS i, b.idx AS j,
+                 cbrt(a.v - b.v) AS phi
+          FROM k a
+          JOIN k b ON a.source = b.source AND a.span_s = b.span_s AND b.idx > a.idx
+          JOIN nn ON nn.source = a.source AND nn.span_s = a.span_s),
+    edges AS (
+      SELECT source, span_s, n, i AS node, phi AS contrib FROM p
+      UNION ALL
+      SELECT source, span_s, n, j AS node, -phi AS contrib FROM p),
+    theta AS (SELECT source, span_s, node, sum(contrib) / any_value(n) AS theta
+              FROM edges GROUP BY 1, 2, 3)
+    SELECT p.source, p.span_s, p.i, p.j,
+           round(p.phi, 6) AS phi,
+           round(p.phi - (ti.theta - tj.theta), 6) AS err,
+           round(ti.theta - tj.theta, 6) AS consistent
+    FROM p
+    JOIN theta ti ON ti.source = p.source AND ti.span_s = p.span_s AND ti.node = p.i
+    JOIN theta tj ON tj.source = p.source AND tj.span_s = p.span_s AND tj.node = p.j
+    """,
+)
+def closure_invert(spark, sf_dir):
+    """Least-norm inversion of each span's closures to per-pair errors
+    (e = A_dagger A phi, covsar/closures.py:271-292) via the closed-form
+    null-space projection — fully relational, exact oracle."""
+    return closure_ops.closure_invert_relational(
+        _events_1m(spark, sf_dir), span_s=600, max_epochs=10
+    )
+
+
+def _span_kernel(spark, sf_dir):
+    from .operators.closure_correct import closure_correct
+
+    # zero gap-fill first: dense spans (20 epochs after the files[:20]-style
+    # cap) exercise the full correction path, not the degenerate n<3 branch
+    roll = gapfill(_events_1m(spark, sf_dir), "1m", "zero")
+    return closure_correct(roll, "1m")
+
+
+@register("closure_pair_correction")
+def closure_pair_correction(spark, sf_dir):
+    """Corrected pair values phi' = phi - A_dagger(fitted closures) per
+    (source, 1h span) — the distributed form of coherence correction
+    C o conj(E) (covsar/closure_inten.py:328-345). Kernel op (pinv):
+    rows-only here; exactness pinned by tests/test_closure_correct.py."""
+    from .operators.closure_correct import corrected_pairs
+
+    p = corrected_pairs(_span_kernel(spark, sf_dir))
+    return p.select(
+        "source", "span_s", "i", "j",
+        F.round("phi", 6).alias("phi"),
+        F.round("phi_err", 6).alias("phi_err"),
+        F.round("phi_corr", 6).alias("phi_corr"),
+    )
+
+
+@register("corrected_drift")
+def corrected_drift(spark, sf_dir):
+    """Corrected-vs-uncorrected NN time-series drift + trend bias per span
+    (J5, covsar/closure_inten.py:512-551). Kernel op: rows-only."""
+    from .operators.closure_correct import span_stats
+
+    s = span_stats(_span_kernel(spark, sf_dir))
+    return s.select(
+        "source", "span_s", "n_epochs",
+        F.round("r", 6).alias("r"),
+        F.round("slope", 6).alias("slope"),
+        F.round("rmse", 6).alias("rmse"),
+        F.round("drift_rms", 6).alias("drift_rms"),
+        F.round("bias", 6).alias("bias"),
+    )
+
+
+@register("chi2_significance")
+def chi2_significance(spark, sf_dir):
+    """chi-squared closure-significance p-values per span
+    (covsar/closures.py:130-141). Kernel op (matrix solve + incomplete
+    gamma): rows-only; goldens in tests/test_closure_correct.py +
+    tests/test_stats.py."""
+    from .operators.closure_correct import span_stats
+
+    s = span_stats(_span_kernel(spark, sf_dir))
+    return s.select(
+        "source", "span_s", "n_epochs",
+        F.round("chi2_s", 4).alias("chi2_s"),
+        F.round("pval", 6).alias("pval"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Dedup suite on documents (training-data pipeline, SURVEY.md §2 extension)
 # ---------------------------------------------------------------------------

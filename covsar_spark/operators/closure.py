@@ -100,6 +100,108 @@ def closure_regression(triplets: DataFrame) -> DataFrame:
     )
 
 
+def ranked_span_epochs(
+    roll: DataFrame, span_s: int = 600, max_epochs: int = 10
+) -> DataFrame:
+    """Index each (source, span)'s epochs 0..N-1 (glob-sort + files[:N] limit
+    analogue, covsar/closure_inten.py:70-73). Returns (source, span_s, n, idx,
+    v) where n = epochs kept in the span."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("source", "span_s").orderBy("epoch_s")
+    d = (
+        roll.withColumn("span_s", (F.floor(F.col("epoch_s") / span_s) * span_s).cast("long"))
+        .withColumn("idx", F.row_number().over(w) - 1)
+        .filter(F.col("idx") < max_epochs)
+        .select("source", "span_s", "idx", F.col("token_count").alias("v"))
+    )
+    cnt = d.groupBy("source", "span_s").agg(F.count(F.lit(1)).alias("n"))
+    return d.join(cnt, ["source", "span_s"])
+
+
+def span_pairs(roll: DataFrame, span_s: int = 600, max_epochs: int = 10) -> DataFrame:
+    """ALL C(N,2) pair values per (source, span): phi_ij = cbrt(v_i - v_j)
+    (signed-root pair statistic, covsar/closures.py:27-32) — the relational
+    upper-triangle self-join (covsar/covariance.py:27-43)."""
+    r = ranked_span_epochs(roll, span_s, max_epochs)
+    a = r.select("source", "span_s", "n", F.col("idx").alias("i"), F.col("v").alias("v_i"))
+    b = r.select("source", "span_s", F.col("idx").alias("j"), F.col("v").alias("v_j"))
+    return (
+        a.join(b, ["source", "span_s"])
+        .filter(F.col("j") > F.col("i"))
+        .select(
+            "source", "span_s", "n", "i", "j",
+            F.cbrt(F.col("v_i") - F.col("v_j")).alias("phi"),
+        )
+    )
+
+
+def full_triplets(roll: DataFrame, span_s: int = 600, max_epochs: int = 10) -> DataFrame:
+    """ALL C(N,3) triplet closures + intensity-triplet regressors per
+    (source, span) — the reference's full enumeration evaluated distributed
+    (covsar/closure_inten.py:205-218; regressor covsar/library.py:239-272):
+    closure = phi_ij + phi_jk - phi_ik, amp = (I_i - I_j) - (I_j - I_k),
+    I = 10*log10(v + 1)."""
+    r = ranked_span_epochs(roll, span_s, max_epochs)
+    a = r.select("source", "span_s", F.col("idx").alias("i"), F.col("v").alias("v_i"))
+    b = r.select("source", "span_s", F.col("idx").alias("j"), F.col("v").alias("v_j"))
+    c = r.select("source", "span_s", F.col("idx").alias("k"), F.col("v").alias("v_k"))
+    ivals = lambda v: 10.0 * F.log10(v + 1.0)  # noqa: E731
+    return (
+        a.join(b, ["source", "span_s"])
+        .filter(F.col("j") > F.col("i"))
+        .join(c, ["source", "span_s"])
+        .filter(F.col("k") > F.col("j"))
+        .select(
+            "source", "span_s", "i", "j", "k",
+            F.round(
+                F.cbrt(F.col("v_i") - F.col("v_j"))
+                + F.cbrt(F.col("v_j") - F.col("v_k"))
+                - F.cbrt(F.col("v_i") - F.col("v_k")),
+                6,
+            ).alias("closure"),
+            F.round(
+                (ivals(F.col("v_i")) - ivals(F.col("v_j")))
+                - (ivals(F.col("v_j")) - ivals(F.col("v_k"))),
+                6,
+            ).alias("amp_triplet"),
+        )
+    )
+
+
+def closure_invert_relational(
+    roll: DataFrame, span_s: int = 600, max_epochs: int = 10
+) -> DataFrame:
+    """Least-norm inversion of each span's OWN closures back to per-pair
+    errors, fully relational: e = A_dagger (A phi) is exactly the projection
+    of phi off the consistent subspace {phi_ij = theta_i - theta_j}
+    (null space of A), so e_ij = phi_ij - (theta_i - theta_j) with
+    theta_i = (1/N) sum_j phitilde_ij over the antisymmetric extension —
+    closed form of covsar/closures.py:271-292 for c in range(A), validated
+    bit-wise against pinv(A) in tests/test_closure_correct.py."""
+    p = span_pairs(roll, span_s, max_epochs)
+    edges = p.select(
+        "source", "span_s", "n", F.col("i").alias("node"), F.col("phi").alias("contrib")
+    ).unionByName(
+        p.select("source", "span_s", "n", F.col("j").alias("node"), (-F.col("phi")).alias("contrib"))
+    )
+    theta = edges.groupBy("source", "span_s", "node").agg(
+        (F.sum("contrib") / F.first("n")).alias("theta")
+    )
+    ti = theta.select("source", "span_s", F.col("node").alias("i"), F.col("theta").alias("th_i"))
+    tj = theta.select("source", "span_s", F.col("node").alias("j"), F.col("theta").alias("th_j"))
+    return (
+        p.join(ti, ["source", "span_s", "i"])
+        .join(tj, ["source", "span_s", "j"])
+        .select(
+            "source", "span_s", "i", "j",
+            F.round("phi", 6).alias("phi"),
+            F.round(F.col("phi") - (F.col("th_i") - F.col("th_j")), 6).alias("err"),
+            F.round(F.col("th_i") - F.col("th_j"), 6).alias("consistent"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Least-norm closure inversion (numpy kernel; covsar/closures.py:271-292)
 # ---------------------------------------------------------------------------
