@@ -224,6 +224,159 @@ def running_sum(spark, sf_dir):
 
 
 @register(
+    "running_product",
+    """
+    WITH f AS (
+      SELECT event_id, user_id, ts,
+             sign(fmod(value, 2) - 1) * (0.9 + fmod(value, 1) / 5) AS factor
+      FROM events)
+    SELECT event_id, user_id,
+           round(product(factor) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS prod
+    FROM f
+    """,
+)
+def running_product_q(spark, sf_dir):
+    """W1 true cumulative product (cumprod phase-linking seed,
+    covsar/pl/nn.py:5-9): sign/zero-split exp-sum-log vs DuckDB's native
+    product() aggregate. Factors are signed and occasionally exactly zero,
+    so all three branches of the operator are exercised."""
+    from .operators.windowfns import running_product
+
+    ev = _read(spark, sf_dir, "events")
+    factor = F.signum(F.pmod(F.col("value"), F.lit(2.0)) - 1.0) * (
+        F.lit(0.9) + F.pmod(F.col("value"), F.lit(1.0)) / 5.0
+    )
+    d = ev.select("event_id", "user_id", "ts", factor.alias("factor"))
+    out = running_product(d, "factor", ["user_id"], ["ts", "event_id"], "prod")
+    return out.select(
+        "event_id", "user_id", F.round("prod", 4).cast("double").alias("prod")
+    )
+
+
+@register(
+    "phase_cumprod",
+    f"""
+    WITH m AS ({_EV_1M_SQL}),
+    s AS (SELECT source, epoch_s,
+                 sum(ln(token_count + 1.0)) OVER (PARTITION BY source ORDER BY epoch_s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tot
+          FROM m),
+    w AS (SELECT source, epoch_s,
+                 fmod(fmod(tot + pi(), 2 * pi()) + 2 * pi(), 2 * pi()) - pi() AS ph
+          FROM s)
+    SELECT source, epoch_s, round(ph, 6) AS cum_phase,
+           round(cos(ph), 6) AS cum_re, round(sin(ph), 6) AS cum_im
+    FROM w
+    """,
+)
+def phase_cumprod_q(spark, sf_dir):
+    """Complex W1: running product of unit phasors exp(i*phi) — angle-cumsum
+    + wrap + (cos, sin) re-embedding (covsar/pl/nn.py:5-9 complex form;
+    wrap convention covsar/closures.py:162)."""
+    from .operators.windowfns import phase_cumprod
+
+    m = _events_1m(spark, sf_dir).withColumn("phi", F.log(F.col("token_count") + 1.0))
+    out = phase_cumprod(m, "phi", ["source"], ["epoch_s"])
+    return out.select(
+        "source", "epoch_s",
+        F.round("cum_phase", 6).cast("double").alias("cum_phase"),
+        F.round("cum_re", 6).cast("double").alias("cum_re"),
+        F.round("cum_im", 6).cast("double").alias("cum_im"),
+    )
+
+
+@register(
+    "interferogram",
+    f"""
+    WITH m AS ({_EV_1M_SQL}),
+    z AS (SELECT source, epoch_s,
+                 sqrt(token_count + 1.0) AS a,
+                 ln(token_count + 1.0) AS phi,
+                 sqrt(token_count + 1.0) * cos(ln(token_count + 1.0)) AS re,
+                 sqrt(token_count + 1.0) * sin(ln(token_count + 1.0)) AS im
+          FROM m),
+    l AS (SELECT source, epoch_s, a, phi, re, im,
+                 lag(a)   OVER (PARTITION BY source ORDER BY epoch_s) AS a_p,
+                 lag(phi) OVER (PARTITION BY source ORDER BY epoch_s) AS phi_p,
+                 lag(re)  OVER (PARTITION BY source ORDER BY epoch_s) AS re_p,
+                 lag(im)  OVER (PARTITION BY source ORDER BY epoch_s) AS im_p
+          FROM z),
+    g AS (SELECT source, epoch_s, a, a_p, phi, phi_p,
+                 re * re_p + im * im_p AS ifg_re,
+                 im * re_p - re * im_p AS ifg_im,
+                 re * re_p - im * im_p AS prod_re,
+                 re * im_p + im * re_p AS prod_im
+          FROM l WHERE phi_p IS NOT NULL)
+    SELECT source, epoch_s,
+           round(ifg_re, 6) AS ifg_re, round(ifg_im, 6) AS ifg_im,
+           round(prod_re, 6) AS prod_re, round(prod_im, 6) AS prod_im,
+           round(atan2(ifg_im, ifg_re), 6) AS dphi,
+           round(fmod(fmod(phi - phi_p + pi(), 2 * pi()) + 2 * pi(), 2 * pi()) - pi(), 6)
+             AS wdiff,
+           round(ifg_re / sqrt((a * a) * (a_p * a_p)), 6) AS coh_re,
+           round(10 * log10(sqrt(ifg_re * ifg_re + ifg_im * ifg_im)), 6) AS db
+    FROM g
+    """,
+)
+def interferogram(spark, sf_dir):
+    """Pairwise interferogram on synthetic (re, im) columns — the complex
+    scalar surface end-to-end (SURVEY.md §2.8): conj-product
+    (covsar/covariance.py:32), plain product, angle (closures.py:152),
+    wrapped phase difference (closures.py:162), coherence normalization
+    (covariance.py:69-80) and intensity dB (covariance.py:66-67), all as
+    codegen'd built-in expressions over (re, im) pairs."""
+    from pyspark.sql import Window as Wn
+
+    from .functions.complexmath import (
+        c_angle,
+        c_conj_mul,
+        c_intensity_db,
+        c_mul,
+        coherence_norm,
+        wrap_phase,
+    )
+
+    m = _events_1m(spark, sf_dir)
+    a = F.sqrt(F.col("token_count") + 1.0)
+    phi = F.log(F.col("token_count") + 1.0)
+    z = m.select(
+        "source", "epoch_s", a.alias("a"), phi.alias("phi"),
+        (a * F.cos(phi)).alias("re"), (a * F.sin(phi)).alias("im"),
+    )
+    w = Wn.partitionBy("source").orderBy("epoch_s")
+    l = z.select(
+        "source", "epoch_s", "a", "phi", "re", "im",
+        F.lag("a").over(w).alias("a_p"),
+        F.lag("phi").over(w).alias("phi_p"),
+        F.lag("re").over(w).alias("re_p"),
+        F.lag("im").over(w).alias("im_p"),
+    ).filter(F.col("phi_p").isNotNull())
+    ifg_re, ifg_im = c_conj_mul(F.col("re"), F.col("im"), F.col("re_p"), F.col("im_p"))
+    prod_re, prod_im = c_mul(F.col("re"), F.col("im"), F.col("re_p"), F.col("im_p"))
+    g = l.select(
+        "source", "epoch_s", "a", "a_p", "phi", "phi_p",
+        ifg_re.alias("ifg_re"), ifg_im.alias("ifg_im"),
+        prod_re.alias("prod_re"), prod_im.alias("prod_im"),
+    )
+    coh_re, _coh_im = coherence_norm(
+        F.col("ifg_re"), F.col("ifg_im"),
+        F.col("a") * F.col("a"), F.col("a_p") * F.col("a_p"),
+    )
+    return g.select(
+        "source", "epoch_s",
+        F.round("ifg_re", 6).cast("double").alias("ifg_re"),
+        F.round("ifg_im", 6).cast("double").alias("ifg_im"),
+        F.round("prod_re", 6).cast("double").alias("prod_re"),
+        F.round("prod_im", 6).cast("double").alias("prod_im"),
+        F.round(c_angle(F.col("ifg_re"), F.col("ifg_im")), 6).cast("double").alias("dphi"),
+        F.round(wrap_phase(F.col("phi") - F.col("phi_p")), 6).cast("double").alias("wdiff"),
+        F.round(coh_re, 6).cast("double").alias("coh_re"),
+        F.round(c_intensity_db(F.col("ifg_re"), F.col("ifg_im")), 6).cast("double").alias("db"),
+    )
+
+
+@register(
     "sliding_avg",
     """
     SELECT event_id, user_id,

@@ -39,9 +39,11 @@ def c_intensity_db(re, im) -> F.Column:
 
 
 def wrap_phase(phi) -> F.Column:
-    """Wrap angle to (-pi, pi] (covsar/closures.py:162)."""
+    """Wrap angle to [-pi, pi): (x + pi) % (2*pi) - pi, exactly the reference
+    convention (covsar/closures.py:162 — pmod keeps the result non-negative
+    before the shift, matching numpy's % on floats)."""
     two_pi = 2.0 * math.pi
-    return F.lit(math.pi) - F.pmod(F.lit(math.pi) - phi, F.lit(two_pi))
+    return F.pmod(phi + F.lit(math.pi), F.lit(two_pi)) - F.lit(math.pi)
 
 
 def c_exp(phi) -> tuple[F.Column, F.Column]:
@@ -62,5 +64,9 @@ def logistic(x, kappa) -> F.Column:
 
 
 def signed_root(x, p: int = 3) -> F.Column:
-    """sign(x) * |x|^(1/p) (covsar/closures.py:27-32)."""
+    """sign(x) * |x|^(1/p) (covsar/closures.py:27-32). p=3 routes through the
+    dedicated cbrt builtin (bit-matches DuckDB's cbrt for the oracle gate;
+    pow(|x|, 1/3) does not)."""
+    if p == 3:
+        return F.cbrt(x)
     return F.signum(x) * F.pow(F.abs(x), 1.0 / p)

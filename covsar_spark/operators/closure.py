@@ -123,6 +123,8 @@ def span_pairs(roll: DataFrame, span_s: int = 600, max_epochs: int = 10) -> Data
     """ALL C(N,2) pair values per (source, span): phi_ij = cbrt(v_i - v_j)
     (signed-root pair statistic, covsar/closures.py:27-32) — the relational
     upper-triangle self-join (covsar/covariance.py:27-43)."""
+    from ..functions.complexmath import signed_root
+
     r = ranked_span_epochs(roll, span_s, max_epochs)
     a = r.select("source", "span_s", "n", F.col("idx").alias("i"), F.col("v").alias("v_i"))
     b = r.select("source", "span_s", F.col("idx").alias("j"), F.col("v").alias("v_j"))
@@ -131,7 +133,7 @@ def span_pairs(roll: DataFrame, span_s: int = 600, max_epochs: int = 10) -> Data
         .filter(F.col("j") > F.col("i"))
         .select(
             "source", "span_s", "n", "i", "j",
-            F.cbrt(F.col("v_i") - F.col("v_j")).alias("phi"),
+            signed_root(F.col("v_i") - F.col("v_j"), 3).alias("phi"),
         )
     )
 

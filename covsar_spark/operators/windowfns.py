@@ -1,0 +1,69 @@
+"""Ordered per-key window operators beyond the built-ins.
+
+W1 — true cumulative PRODUCT (the reference's nearest-neighbor phase-linking
+seed, covsar/pl/nn.py:5-9: `cumprod` of the coherence superdiagonal). Spark
+has no product aggregate, so:
+
+    real form:    prod = sign * exp(sum(log|x|)), sign via the running count
+                  of negative factors, hard zero once any factor is 0
+    complex form: cumulative product of unit phasors exp(i*phi) = phasor of
+                  the running SUM of angles (the angle-cumsum equivalence the
+                  reference exploits by working in phase space throughout)
+
+Both are single-pass window aggregates — no UDF, whole-stage codegen'd.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from ..functions.complexmath import c_exp, wrap_phase
+
+
+def cumulative_product(x: Column, w) -> Column:
+    """Running product of ``x`` over window spec ``w`` (must be a cumulative
+    frame, e.g. rowsBetween(unboundedPreceding, 0)).
+
+    exp(sum(log|x|)) carries the magnitude; the sign is (-1)^(# negative
+    factors so far); any zero factor pins the product (and everything after
+    it) to exactly 0 — the three cases a log-domain product must split."""
+    n_zero = F.sum(F.when(x == 0.0, 1).otherwise(0)).over(w)
+    n_neg = F.sum(F.when(x < 0.0, 1).otherwise(0)).over(w)
+    mag = F.exp(F.sum(F.log(F.when(x == 0.0, F.lit(1.0)).otherwise(F.abs(x)))).over(w))
+    sign = F.lit(1) - F.lit(2) * F.pmod(n_neg, F.lit(2))
+    return F.when(n_zero > 0, F.lit(0.0)).otherwise(sign * mag)
+
+
+def running_product(
+    df: DataFrame,
+    value_col: str,
+    partition_cols: list[str],
+    order_cols: list[str],
+    out_col: str = "running_prod",
+) -> DataFrame:
+    w = (
+        W.partitionBy(*partition_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return df.withColumn(out_col, cumulative_product(F.col(value_col), w))
+
+
+def phase_cumprod(
+    df: DataFrame,
+    phase_col: str,
+    partition_cols: list[str],
+    order_cols: list[str],
+) -> DataFrame:
+    """Complex W1: running product of unit phasors exp(i*phi) as (re, im)
+    columns — cumprod(diag(cov, 1)) with |.|=1, covsar/pl/nn.py:5-9. The
+    product's angle is the running sum of phases, wrapped to [-pi, pi)."""
+    w = (
+        W.partitionBy(*partition_cols)
+        .orderBy(*order_cols)
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    total = wrap_phase(F.sum(F.col(phase_col)).over(w))
+    re, im = c_exp(total)
+    return df.withColumn("cum_phase", total).withColumn("cum_re", re).withColumn("cum_im", im)

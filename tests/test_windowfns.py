@@ -1,0 +1,52 @@
+"""W1 cumulative product: sign/zero branches vs a numpy cumprod, and the
+reference wrap convention boundary (pi wraps to -pi, covsar/closures.py:162)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import functions as F
+
+from covsar_spark.functions.complexmath import wrap_phase
+from covsar_spark.operators.windowfns import phase_cumprod, running_product
+
+
+def test_running_product_matches_numpy(spark):
+    factors = [1.5, -2.0, 0.5, -1.0, 3.0, 0.0, 2.0, -4.0]
+    pdf = pd.DataFrame({"k": ["a"] * len(factors), "i": range(len(factors)), "x": factors})
+    out = (
+        running_product(spark.createDataFrame(pdf), "x", ["k"], ["i"])
+        .orderBy("i")
+        .toPandas()["running_prod"]
+        .to_numpy()
+    )
+    want = np.cumprod(factors)
+    np.testing.assert_allclose(out, want, rtol=1e-12, atol=0)
+    assert out[5] == 0.0 and out[-1] == 0.0  # zero factor pins the tail
+
+
+def test_wrap_phase_boundary(spark):
+    df = spark.range(1).select(
+        wrap_phase(F.lit(math.pi)).alias("at_pi"),
+        wrap_phase(F.lit(-math.pi)).alias("at_neg_pi"),
+        wrap_phase(F.lit(3 * math.pi + 0.5)).alias("big"),
+    )
+    row = df.first()
+    # reference convention [-pi, pi): +pi maps to -pi
+    assert abs(row["at_pi"] - (-math.pi)) < 1e-12
+    assert abs(row["at_neg_pi"] - (-math.pi)) < 1e-12
+    assert abs(row["big"] - (-math.pi + 0.5)) < 1e-9
+
+
+def test_phase_cumprod_is_phasor_product(spark):
+    phis = [0.3, 2.8, -1.1, 3.0, 0.7]
+    pdf = pd.DataFrame({"k": ["a"] * len(phis), "i": range(len(phis)), "phi": phis})
+    out = phase_cumprod(spark.createDataFrame(pdf), "phi", ["k"], ["i"]).orderBy("i").toPandas()
+    z = np.cumprod(np.exp(1j * np.array(phis)))
+    np.testing.assert_allclose(out["cum_re"], z.real, atol=1e-12)
+    np.testing.assert_allclose(out["cum_im"], z.imag, atol=1e-12)
+    # angles wrapped to [-pi, pi)
+    assert ((out["cum_phase"] >= -math.pi) & (out["cum_phase"] < math.pi)).all()
