@@ -796,7 +796,50 @@ def dedup_exact(spark, sf_dir):
     """,
 )
 def jaccard_pairs(spark, sf_dir):
+    """All-pairs exact Jaccard — correctness BASELINE for the composed
+    LSH-verified path below; bounded corpora only (quadratic on hot
+    shingles; production path is `jaccard_verified`)."""
     return dedup_ops.jaccard_pairs(_read(spark, sf_dir, "documents"), k=3, threshold=0.1)
+
+
+@register(
+    "jaccard_verified",
+    f"""
+    WITH {_SHINGLES_SQL},
+    hashed AS (SELECT doc_id, ('0x' || substr(md5(shingle), 1, 10))::BIGINT AS h
+               FROM shingles),
+    params AS (SELECT unnest(generate_series(0, 15)) AS hash_id),
+    p2 AS (SELECT hash_id, (2 * hash_id + 3)::BIGINT AS a, (7 * hash_id + 1)::BIGINT AS b
+           FROM params),
+    sig AS (SELECT doc_id, hash_id, min((a * h + b) % 2147483647)::BIGINT AS minhash
+            FROM hashed CROSS JOIN p2 GROUP BY 1, 2),
+    bk AS (SELECT doc_id, (hash_id // 4)::INT AS band,
+                  md5(string_agg(hash_id || ':' || minhash, ','
+                      ORDER BY hash_id || ':' || minhash)) AS bkey
+           FROM sig GROUP BY 1, 2),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bk a JOIN bk b
+               ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+    sizes AS (SELECT doc_id, count(*)::BIGINT AS n_sh FROM shingles GROUP BY 1),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*)::BIGINT AS n_common
+      FROM cand c
+      JOIN shingles a ON a.doc_id = c.doc_a
+      JOIN shingles b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, n_common,
+           round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE round(n_common / (sa.n_sh + sb.n_sh - n_common), 6) >= 0.1
+    """,
+)
+def jaccard_verified(spark, sf_dir):
+    """The contracted production dedup path: LSH band candidates -> exact
+    Jaccard verification on candidates only (scale-safe composition;
+    module scale notes in operators/dedup.py)."""
+    return dedup_ops.jaccard_verified(_read(spark, sf_dir, "documents"), k=3, threshold=0.1)
 
 
 @register(
@@ -1022,9 +1065,20 @@ def compress_chunks(spark, sf_dir):
     )
 
 
-@register("tier_cascade_1h")
+@register(
+    "tier_cascade_1h",
+    """
+    SELECT event_type AS source,
+           epoch(date_trunc('hour', ts))::BIGINT AS epoch_s,
+           count(*)::BIGINT AS token_count,
+           count(*)::BIGINT AS n_docs
+    FROM events GROUP BY 1, 2
+    """,
+)
 def tier_cascade_1h(spark, sf_dir):
-    """Engine cascade operator applied to the events-derived rollup."""
+    """Engine cascade operator applied to the events-derived rollup — the
+    re-rollup must equal a direct 1h rollup exactly (relook additivity,
+    covsar/covariance.py:48-61)."""
     return tier_cascade(_events_1m(spark, sf_dir), "1h").select(
         "source", "epoch_s", "token_count", "n_docs"
     )
@@ -1034,6 +1088,14 @@ def tier_cascade_1h(spark, sf_dir):
 def ann_lsh_topk(spark, sf_dir):
     r = sim_ops.lsh_topk(_read(spark, sf_dir, "embeddings"), n_queries=5, k=10)
     return r.withColumn("rank", F.col("rank").cast("long"))
+
+
+@register("near_dup_lsh")
+def near_dup_lsh_q(spark, sf_dir):
+    """Sub-quadratic near-dup path: multi-table LSH candidates + exact Arrow
+    cosine verification (precision 1.0; recall floor pinned in
+    tests/test_similarity.py). Approximate by design: rows-only here."""
+    return sim_ops.near_dup_lsh(_read(spark, sf_dir, "embeddings"), threshold=0.35)
 
 
 @register("multimodal_features")

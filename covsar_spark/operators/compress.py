@@ -61,13 +61,19 @@ def decompress_chunks(chunks: DataFrame) -> DataFrame:
     def dec(it):
         for pdf in it:
             srcs, eps, vals = [], [], []
-            for _, r in pdf.iterrows():
-                n = int(r["n_points"])
-                ts = decode_dod(bytes(r["ts_blob"]), n)
-                vs = decode_xor(bytes(r["val_blob"]), n)
-                srcs.extend([r["source"]] * n)
+            for src, n, tb, vb in zip(
+                pdf["source"].to_numpy(),
+                pdf["n_points"].to_numpy(),
+                pdf["ts_blob"].to_numpy(),
+                pdf["val_blob"].to_numpy(),
+            ):
+                n = int(n)
+                ts = decode_dod(bytes(tb), n)
+                vs = decode_xor(bytes(vb), n)
+                srcs.append(np.repeat(src, n))
                 eps.append(ts)
                 vals.append(vs)
+            srcs = np.concatenate(srcs) if srcs else np.array([], dtype=object)
             yield pd.DataFrame(
                 {
                     "source": srcs,

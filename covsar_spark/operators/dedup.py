@@ -80,6 +80,36 @@ def jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.5) -> DataFr
     return j.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "n_common", "jaccard")
 
 
+def jaccard_verified(docs: DataFrame, k: int = 3, threshold: float = 0.1) -> DataFrame:
+    """The production-scale dedup path, composed: LSH band candidates ->
+    exact n-gram Jaccard verification restricted to those pairs. The shingle
+    inverted-index join runs only over candidate docs (broadcast candidate
+    set), so the quadratic hot-shingle blowup of the all-pairs join never
+    happens; the output is exact Jaccard on the candidate set."""
+    cand = lsh_candidates(docs, k=k)
+    sh = shingles(docs, k)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        a.join(F.broadcast(cand), "doc_a")
+        .join(b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    j = (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6),
+        )
+    )
+    return j.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "n_common", "jaccard")
+
+
 def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES, k: int = 3) -> DataFrame:
     """(doc_id, hash_id, minhash): min over shingles of (a*h + b) mod p,
     h = md5-derived 60-bit shingle hash."""

@@ -4,11 +4,20 @@
   products via higher-order array functions (JVM-side `aggregate`/`zip_with`,
   no Python), ranks via a per-query window.
 - `lsh_topk`: random-hyperplane LSH bucketing — the scale path: candidates
-  come only from the query's bucket (and Hamming-1 probes), turning the
-  all-pairs cross join into a bucket-equi-join. Hyperplanes are deterministic
-  (seeded numpy, broadcast as literals).
-
-At 100 TB the corpus side is hash-partitioned by bucket; queries broadcast.
+  come only from the query's bucket plus its Hamming-1 probes, turning the
+  all-pairs cross join into a bucket equi-join. All plane projections are one
+  pandas-UDF gemm per Arrow batch (planes re-derived deterministically from
+  the batch's dim + seed — no driver-side `.first()` at plan build).
+  Recall@k vs `cosine_topk` is measured in tests/test_similarity.py.
+- `near_dup_pairs`: exact all-pairs cosine near-duplicates via DISTRIBUTED
+  block matmul: vectors are grouped into B blocks executor-side
+  (collect_list per block — a shuffle, never a driver collect), the B(B+1)/2
+  unordered block pairs are enumerated with a tiny broadcast join, and each
+  block-pair task runs one gemm. Memory per task is bounded by the block
+  size; at cluster scale B grows with the corpus (two-level blocking caps
+  collect_list width) and the plan stays shuffle+broadcast — no driver state.
+- `near_dup_lsh`: the sub-quadratic variant — LSH bucket candidates verified
+  with the exact Arrow cosine (`pair_cosine`).
 """
 
 from __future__ import annotations
@@ -26,7 +35,8 @@ def pair_cosine(va: pd.Series, vb: pd.Series) -> pd.Series:
 
     The JVM higher-order fold (`_dot`) is interpreted per element (~300us
     per 64-dim pair) — fine for small top-k candidate sets, hopeless for
-    all-pairs near-dup scans. This path is ~1000x faster per pair."""
+    all-pairs near-dup scans. This path is ~1000x faster per pair. Used by
+    `near_dup_lsh` to verify LSH candidates exactly."""
     A = np.stack(va.to_numpy())
     B = np.stack(vb.to_numpy())
     num = np.einsum("ij,ij->i", A, B)
@@ -81,26 +91,45 @@ def hyperplanes(dim: int, n_planes: int = 12, seed: int = 123) -> np.ndarray:
     return np.random.default_rng(seed).normal(0, 1, (n_planes, dim))
 
 
-def lsh_bucket_col(vec_col, planes: np.ndarray) -> F.Column:
-    """Sign-of-projection bucket id (random hyperplane LSH)."""
-    bucket = F.lit(0).cast("long")
-    for i, p in enumerate(planes):
-        arr = F.array(*[F.lit(float(x)) for x in p])
-        proj = _dot(vec_col, arr)
-        bucket = bucket + F.when(proj > 0, F.lit(1 << i).cast("long")).otherwise(0)
+def lsh_bucket_udf(n_planes: int = 8, seed: int = 123):
+    """Sign-of-projection bucket id as ONE gemm per Arrow batch (replaces the
+    per-plane interpreted HOF fold — ~300us/plane/row -> one BLAS call).
+    Planes are re-derived from (dim, seed) inside the UDF, so the plan needs
+    no driver-side schema probe and every batch/executor sees identical
+    planes."""
+
+    @F.pandas_udf(T.LongType())
+    def bucket(v: pd.Series) -> pd.Series:
+        M = np.stack(v.to_numpy()).astype(np.float64)
+        planes = hyperplanes(M.shape[1], n_planes, seed)
+        bits = (M @ planes.T) > 0
+        weights = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+        return pd.Series(bits.astype(np.int64) @ weights)
+
     return bucket
 
 
-def lsh_topk(emb: DataFrame, n_queries: int = 5, k: int = 10, n_planes: int = 8) -> DataFrame:
-    """Bucketed ANN: exact cosine ranking restricted to the query's bucket.
-    Approximate — recall measured against `cosine_topk` in tests."""
-    dim = len(emb.select("embedding").first()[0])
-    planes = hyperplanes(dim, n_planes)
-    with_b = emb.withColumn("bucket", lsh_bucket_col(F.col("embedding"), planes)).withColumn(
+def lsh_topk(
+    emb: DataFrame, n_queries: int = 5, k: int = 10, n_planes: int = 8
+) -> DataFrame:
+    """Bucketed ANN: exact cosine ranking restricted to the query's bucket
+    plus its Hamming-1 probe buckets (multi-probe LSH — recall measured
+    against `cosine_topk` in tests/test_similarity.py)."""
+    bucket = lsh_bucket_udf(n_planes)
+    with_b = emb.withColumn("bucket", bucket(F.col("embedding"))).withColumn(
         "nrm", _norm(F.col("embedding"))
     )
-    q = with_b.filter(F.col("vec_id") < n_queries).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"), F.col("nrm").alias("qn"), "bucket"
+    probes = F.array(
+        F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+    )
+    q = (
+        with_b.filter(F.col("vec_id") < n_queries)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.col("nrm").alias("qn"),
+            F.explode(probes).alias("bucket"),
+        )
     )
     c = with_b.select(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), F.col("nrm").alias("cn"), "bucket"
@@ -113,6 +142,7 @@ def lsh_topk(emb: DataFrame, n_queries: int = 5, k: int = 10, n_planes: int = 8)
             "neighbor_id",
             (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("sim"),
         )
+        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (
@@ -122,50 +152,119 @@ def lsh_topk(emb: DataFrame, n_queries: int = 5, k: int = 10, n_planes: int = 8)
     )
 
 
-def near_dup_pairs(emb: DataFrame, threshold: float = 0.35) -> DataFrame:
-    """All-pairs cosine near-duplicates via block matmul: the corpus matrix
-    (ids + L2-normalized vectors) is broadcast once, each Arrow batch of rows
-    multiplies against it with one gemm, and only over-threshold pairs
-    (id_a < id_b) are emitted.
+_PAIR_SCHEMA = "id_a long, id_b long, same_label boolean"
 
-    The pair-join formulation ships BOTH vectors per candidate pair through
-    Arrow (O(pairs x dim) bytes — 12 GB at 5k vectors); this ships each
-    vector once plus the broadcast matrix. At cluster scale the corpus side
-    shards into broadcast blocks (classic block-nested-loop ANN).
+
+def near_dup_pairs(emb: DataFrame, threshold: float = 0.35, n_blocks: int = 8) -> DataFrame:
+    """All-pairs cosine near-duplicates via distributed block matmul.
+
+    Vectors are hashed into ``n_blocks`` blocks; each block is packed into
+    one row executor-side (shuffle + collect_list — the driver never sees a
+    vector); the B(B+1)/2 unordered block pairs come from a broadcast
+    self-join of the tiny packed table; each pair-task L2-normalizes its two
+    blocks and runs one gemm, emitting only over-threshold (id_a < id_b)
+    pairs. Every unordered vector pair lands in exactly one block-pair task.
+
+    Scale: per-task memory = 2 x block_size x dim doubles — pick n_blocks ~
+    corpus_bytes / target_task_bytes; the former implementation collected the
+    whole corpus to the driver (OOM at scale) and is gone.
     """
-    sess = emb.sparkSession
-    rows = emb.select("vec_id", "embedding", "label").collect()
-    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
-    labels = {int(r["vec_id"]): r["label"] for r in rows}
-    M = np.stack([np.asarray(r["embedding"], np.float64) for r in rows])
-    M /= np.linalg.norm(M, axis=1, keepdims=True)
-    b_ids = sess.sparkContext.broadcast(ids)
-    b_m = sess.sparkContext.broadcast(M)
-    b_lab = sess.sparkContext.broadcast(labels)
+    packed = (
+        emb.select("vec_id", "embedding", "label", F.pmod(F.col("vec_id"), F.lit(n_blocks)).alias("blk"))
+        .groupBy("blk")
+        .agg(F.collect_list(F.struct("vec_id", "embedding", "label")).alias("items"))
+    )
+    pairs = (
+        packed.select(F.col("blk").alias("blk_a"), F.col("items").alias("items_a"))
+        .join(
+            F.broadcast(
+                packed.select(F.col("blk").alias("blk_b"), F.col("items").alias("items_b"))
+            ),
+            F.col("blk_a") <= F.col("blk_b"),
+        )
+        # spread the B(B+1)/2 tasks across executors
+        .repartition("blk_a", "blk_b")
+    )
 
     def op(it):
-        import pandas as pd
-
-        cid = b_ids.value
-        cm = b_m.value
-        lab = b_lab.value
         for pdf in it:
-            A = np.stack([np.asarray(v, np.float64) for v in pdf["embedding"]])
-            A /= np.linalg.norm(A, axis=1, keepdims=True)
-            sims = A @ cm.T  # (batch, corpus)
-            aid = pdf["vec_id"].to_numpy(np.int64)
-            mask = (sims >= threshold) & (aid[:, None] < cid[None, :])
-            ai, ci = np.nonzero(mask)
-            ia = aid[ai]
-            ib = cid[ci]
-            yield pd.DataFrame(
-                {
-                    "id_a": ia,
-                    "id_b": ib,
-                    "same_label": [lab[int(x)] == lab[int(y)] for x, y in zip(ia, ib)],
-                }
-            )
+            out_a, out_b, out_same = [], [], []
+            for _, row in pdf.iterrows():
+                diag = row["blk_a"] == row["blk_b"]
+                ia = np.array([x["vec_id"] for x in row["items_a"]], dtype=np.int64)
+                ib = np.array([x["vec_id"] for x in row["items_b"]], dtype=np.int64)
+                la = {int(x["vec_id"]): x["label"] for x in row["items_a"]}
+                lb = {int(x["vec_id"]): x["label"] for x in row["items_b"]}
+                A = np.stack([np.asarray(x["embedding"], np.float64) for x in row["items_a"]])
+                B = np.stack([np.asarray(x["embedding"], np.float64) for x in row["items_b"]])
+                A /= np.linalg.norm(A, axis=1, keepdims=True)
+                B /= np.linalg.norm(B, axis=1, keepdims=True)
+                sims = A @ B.T
+                mask = sims >= threshold
+                if diag:
+                    # within a block, keep the upper triangle only
+                    mask &= ia[:, None] < ib[None, :]
+                else:
+                    # distinct blocks: every (i, j) is a distinct unordered
+                    # pair — emit canonically as (min, max)
+                    mask &= ia[:, None] != ib[None, :]
+                r, c = np.nonzero(mask)
+                pa, pb = ia[r], ib[c]
+                pa, pb = np.minimum(pa, pb), np.maximum(pa, pb)
+                out_a.append(pa)
+                out_b.append(pb)
+                out_same.extend(la[int(x)] == lb[int(y)] for x, y in zip(ia[r], ib[c]))
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "id_a": np.concatenate(out_a),
+                        "id_b": np.concatenate(out_b),
+                        "same_label": out_same,
+                    }
+                )
 
-    return emb.select("vec_id", "embedding").mapInPandas(
-        op, "id_a long, id_b long, same_label boolean"
+    return pairs.mapInPandas(op, _PAIR_SCHEMA)
+
+
+def near_dup_lsh(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    n_planes: int = 4,
+    n_tables: int = 4,
+    seed: int = 123,
+) -> DataFrame:
+    """Sub-quadratic near-duplicates: multi-table hyperplane-LSH candidates
+    (a pair is a candidate if it collides in ANY of the ``n_tables``
+    independent 2^n_planes-bucket tables — classic banding, recall
+    1-(1-p^r)^b) verified with the exact Arrow cosine (`pair_cosine`), so
+    precision is 1.0 by construction. Candidates come from (table, bucket)
+    equi-joins — the scale path; recall vs the exact `near_dup_pairs` is
+    measured in tests/test_similarity.py."""
+    keys = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("t"),
+                    lsh_bucket_udf(n_planes, seed + 1000 * t)(F.col("embedding")).alias("bk"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+    ).alias("key")
+    b = emb.select("vec_id", "embedding", "label", keys).select(
+        "vec_id", "embedding", "label", F.col("key.t").alias("t"), F.col("key.bk").alias("bk")
     )
+    a = b.select(
+        "t", "bk", F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"), F.col("label").alias("label_a"),
+    )
+    c = b.select(
+        "t", "bk", F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"), F.col("label").alias("label_b"),
+    )
+    cand = a.join(c, ["t", "bk"]).filter(F.col("id_a") < F.col("id_b")).dropDuplicates(
+        ["id_a", "id_b"]
+    )
+    return cand.withColumn("sim", pair_cosine(F.col("va"), F.col("vb"))).filter(
+        F.col("sim") >= threshold
+    ).select("id_a", "id_b", (F.col("label_a") == F.col("label_b")).alias("same_label"))

@@ -1,0 +1,101 @@
+"""ANN/near-dup evidence: exact block-matmul vs numpy brute force, LSH top-k
+recall vs the exact ranking, and LSH near-dup recall vs the exact pair set."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from covsar_spark.operators.similarity import (
+    cosine_topk,
+    lsh_topk,
+    near_dup_lsh,
+    near_dup_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    # 12 well-separated cluster directions + per-vector noise: neighbors are
+    # overwhelmingly same-cluster, so LSH recall is meaningful and stable
+    rng = np.random.default_rng(99)
+    n, dim, k = 400, 32, 12
+    centers = rng.normal(0, 1, (k, dim))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    lab = rng.integers(0, k, n)
+    vecs = centers[lab] + rng.normal(0, 0.12, (n, dim))
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, dtype=np.int64),
+            "embedding": [v.astype(np.float64).tolist() for v in vecs],
+            "label": [f"c{int(x)}" for x in lab],
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    sdf.persist().count()
+    return sdf, vecs, lab
+
+
+def _brute_pairs(vecs: np.ndarray, threshold: float) -> set[tuple[int, int]]:
+    M = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = M @ M.T
+    out = set()
+    n = len(M)
+    for i in range(n):
+        for j in range(i + 1, n):
+            if sims[i, j] >= threshold:
+                out.add((i, j))
+    return out
+
+
+def test_near_dup_block_matmul_exact(emb_df):
+    sdf, vecs, _ = emb_df
+    got = near_dup_pairs(sdf, threshold=0.5, n_blocks=5).toPandas()
+    want = _brute_pairs(vecs, 0.5)
+    got_set = set(zip(got["id_a"].astype(int), got["id_b"].astype(int)))
+    assert got_set == want
+    assert (got["id_a"] < got["id_b"]).all()
+    # no duplicates: each unordered pair lands in exactly one block-pair task
+    assert len(got) == len(got_set)
+
+
+def test_lsh_topk_recall(emb_df):
+    sdf, _, _ = emb_df
+    nq, k = 20, 10
+    exact = cosine_topk(sdf, n_queries=nq, k=k).toPandas()
+    approx = lsh_topk(sdf, n_queries=nq, k=k, n_planes=8).toPandas()
+    e = {(int(r.query_id), int(r.neighbor_id)) for r in exact.itertuples()}
+    a = {(int(r.query_id), int(r.neighbor_id)) for r in approx.itertuples()}
+    recall = len(e & a) / len(e)
+    # multi-probe (Hamming-1) hyperplane LSH on clustered data: measured
+    # ~0.65 on this fixture at 8 planes; 0.6 is the promised floor
+    assert recall >= 0.6, f"lsh_topk recall@{k} = {recall:.3f}"
+
+
+def test_near_dup_lsh_subset_and_recall(emb_df):
+    sdf, vecs, _ = emb_df
+    exact = _brute_pairs(vecs, 0.5)
+    got = near_dup_lsh(sdf, threshold=0.5).toPandas()
+    got_set = set(zip(got["id_a"].astype(int), got["id_b"].astype(int)))
+    # exact verification: no false positives, ever
+    assert got_set <= exact
+    recall = len(got_set) / len(exact)
+    # 4 tables x 4 planes banding: measured ~0.76 on this fixture
+    assert recall >= 0.5, f"near_dup_lsh recall = {recall:.3f}"
+
+
+def test_lsh_bucket_deterministic_across_batches(spark):
+    # same vector -> same bucket regardless of Arrow batch composition
+    from covsar_spark.operators.similarity import lsh_bucket_udf
+
+    rng = np.random.default_rng(5)
+    v = rng.normal(0, 1, 16).tolist()
+    pdf1 = pd.DataFrame({"embedding": [v]})
+    pdf2 = pd.DataFrame({"embedding": [rng.normal(0, 1, 16).tolist() for _ in range(50)] + [v]})
+    b = lsh_bucket_udf(8, 123)
+    from pyspark.sql import functions as F
+
+    b1 = spark.createDataFrame(pdf1).select(b(F.col("embedding")).alias("b")).first()["b"]
+    b2 = spark.createDataFrame(pdf2).select(b(F.col("embedding")).alias("b")).collect()[-1]["b"]
+    assert b1 == b2
