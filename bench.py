@@ -38,10 +38,22 @@ BENCH_QUERIES = [
     "epoch_pairs",
     "triplets_consecutive",
     "closure_regression",
+    "triplets_full",
+    "closure_invert",
+    "closure_pair_correction",
+    "corrected_drift",
+    "running_product",
+    "phase_cumprod",
+    "interferogram",
+    "mean_lag_coherence",
+    "kappa_grid",
+    "bootstrap_pvalue",
     "dedup_exact",
     "jaccard_pairs",
+    "jaccard_verified",
     "minhash_signatures",
     "lsh_candidates",
+    "near_dup_lsh",
     "simhash",
     "word_stats",
     "quality_score",

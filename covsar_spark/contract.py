@@ -629,6 +629,139 @@ def closure_regression(spark, sf_dir):
     return closure_ops.closure_regression(closure_ops.consecutive_triplets(roll, "1m"))
 
 
+@register(
+    "mean_lag_coherence",
+    f"""
+    WITH r AS ({_EV_1M_SQL}),
+    p AS (SELECT a.source, ((b.epoch_s - a.epoch_s) / 60)::BIGINT AS lag,
+                 a.token_count AS v_i, b.token_count AS v_j
+          FROM r a JOIN r b ON a.source = b.source
+            AND b.epoch_s > a.epoch_s AND b.epoch_s <= a.epoch_s + 180)
+    SELECT source, lag, count(*)::BIGINT AS n_pairs,
+           round(avg(abs(ln((v_i + 1.0) / (v_j + 1.0)))), 6) AS mean_abs_logratio,
+           round(covar_samp(v_i, v_j)
+                 / nullif(stddev_samp(v_i) * stddev_samp(v_j), 0.0), 6) AS lag_corr
+    FROM p GROUP BY 1, 2
+    """,
+)
+def mean_lag_coherence_q(spark, sf_dir):
+    """A5 mean lag-k coherence map (covsar/library.py:57-65): per-(source,
+    lag) mean pair statistic + lag cross-correlation."""
+    return closure_ops.mean_lag_coherence(_events_1m(spark, sf_dir), "1m", max_lag=3)
+
+
+@register(
+    "kappa_grid",
+    f"""
+    WITH r AS ({_EV_1M_SQL}),
+    t AS (
+      SELECT a.source, (a.token_count - 2 * b.token_count + c.token_count) AS closure,
+             round((a.token_count + b.token_count + c.token_count) / 3.0, 6) AS level
+      FROM r a
+      JOIN r b ON a.source = b.source AND b.epoch_s = a.epoch_s + 60
+      JOIN r c ON a.source = c.source AND c.epoch_s = a.epoch_s + 120),
+    g AS (SELECT source, kappa, closure,
+                 2 / (1 + exp(-kappa * (level - 1.0))) - 1 AS x
+          FROM t CROSS JOIN (SELECT unnest([0.25, 0.5, 1.0, 2.0, 4.0]) AS kappa)),
+    s AS (SELECT source, kappa, count(*)::BIGINT AS n_triplets,
+                 round(pow(covar_samp(x, closure), 2)
+                       / nullif(var_samp(x) * var_samp(closure), 0.0), 6) AS r2
+          FROM g GROUP BY 1, 2),
+    rk AS (SELECT source, kappa, r2, n_triplets,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY r2 DESC, kappa ASC) AS rk
+           FROM s)
+    SELECT source, kappa AS best_kappa, r2 AS best_r2, n_triplets
+    FROM rk WHERE rk = 1
+    """,
+)
+def kappa_grid(spark, sf_dir):
+    """Kappa grid optimization (covsar/optimize_kappa.py:44-57): explode a
+    kappa grid, score the logistic transform's fit per (source, kappa),
+    argmax per source (np.argmax(R2s) -> row_number = 1)."""
+    t = closure_ops.consecutive_triplets(_events_1m(spark, sf_dir), "1m")
+    return closure_ops.kappa_grid_search(t)
+
+
+@register(
+    "percentile_summary",
+    """
+    SELECT event_type, count(*)::BIGINT AS n,
+           round(quantile_cont(value, 0.25), 4) AS p25,
+           round(quantile_cont(value, 0.5), 4) AS p50,
+           round(quantile_cont(value, 0.9), 4) AS p90
+    FROM events GROUP BY 1
+    """,
+)
+def percentile_summary(spark, sf_dir):
+    """A8 median/percentile reductions (np.median, covsar/closure_inten.py:169)
+    via exact interpolated percentiles (Spark percentile == DuckDB
+    quantile_cont)."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(value, 0.25)"), 4).cast("double").alias("p25"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).cast("double").alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).cast("double").alias("p90"),
+    )
+
+
+@register(
+    "value_histogram",
+    """
+    SELECT event_type, floor(value / 25)::BIGINT AS bin,
+           count(*)::BIGINT AS n, round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def value_histogram(spark, sf_dir):
+    """A12 histogram summaries (np.histogram, covsar/closure_inten.py:418-420):
+    fixed-width bins as a deterministic grouped count (pushdown-friendly,
+    unlike histogram_numeric's approximate centroids)."""
+    ev = _read(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.floor(F.col("value") / 25).cast("long").alias("bin")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("value"), 4).cast("double").alias("sum_value"),
+    )
+
+
+@register(
+    "bootstrap_pvalue",
+    """
+    WITH obs AS (
+      SELECT event_type AS grp, count(*)::BIGINT AS n,
+             round(avg(CASE WHEN event_id % 2 = 0 THEN value END)
+                   - avg(CASE WHEN event_id % 2 = 1 THEN value END), 6) AS obs_diff
+      FROM events GROUP BY 1),
+    reps AS (
+      SELECT event_type AS grp, rep,
+             round(avg(CASE WHEN (('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT
+                            >> rep) & 1 = 0 THEN value END)
+                   - avg(CASE WHEN (('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT
+                              >> rep) & 1 = 1 THEN value END), 6) AS stat
+      FROM events CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS rep)
+      GROUP BY 1, 2)
+    SELECT o.grp AS event_type, o.n, o.obs_diff,
+           round((sum(CASE WHEN abs(r.stat) >= abs(o.obs_diff) THEN 1 ELSE 0 END) + 1)
+                 / 61.0, 6) AS pval
+    FROM reps r JOIN obs o ON r.grp = o.grp
+    GROUP BY 1, 2, 3
+    """,
+)
+def bootstrap_pvalue(spark, sf_dir):
+    """Deterministic permutation/bootstrap significance
+    (covsar/bootstrapCov.py:31-74, bootstrap_significance.py:24-65): null
+    distribution by md5-bit half reassignment (bit r of one 60-bit md5 per
+    row), add-one-smoothed exceedance p-value — exactly replayable by the
+    SQL oracle."""
+    from .operators.bootstrap import permutation_pvalue
+
+    ev = _read(spark, sf_dir, "events")
+    return permutation_pvalue(ev, "event_type", "event_id", "value", n_reps=60)
+
+
 # ranked span epochs over the 1m rollup: 10-minute spans, first 10 epochs
 # (files[:N] limit analogue) — shared CTE for the full-triplet/inversion suite
 _RANKED_SQL = f"""
@@ -1095,7 +1228,9 @@ def near_dup_lsh_q(spark, sf_dir):
     """Sub-quadratic near-dup path: multi-table LSH candidates + exact Arrow
     cosine verification (precision 1.0; recall floor pinned in
     tests/test_similarity.py). Approximate by design: rows-only here."""
-    return sim_ops.near_dup_lsh(_read(spark, sf_dir, "embeddings"), threshold=0.35)
+    return sim_ops.near_dup_lsh(
+        _read(spark, sf_dir, "embeddings"), threshold=0.35, n_planes=6, n_tables=4
+    )
 
 
 @register("multimodal_features")

@@ -100,6 +100,67 @@ def closure_regression(triplets: DataFrame) -> DataFrame:
     )
 
 
+def mean_lag_coherence(roll: DataFrame, tier: str, max_lag: int = 3) -> DataFrame:
+    """A5 `mean_coh` (covsar/library.py:57-65): per (source, lag) mean of the
+    normalized pair statistic over the lag-k pair set — the graft's
+    lag-coherence is the cross-correlation of the series with its k-lag
+    shift, plus the mean |log-ratio| magnitude of the pairs."""
+    tier_s = TIERS[tier]
+    a = roll.select(
+        "source",
+        F.col("epoch_s").alias("e_i"),
+        F.col("token_count").alias("v_i"),
+        F.explode(F.array(*[F.lit(k) for k in range(1, max_lag + 1)])).alias("lag"),
+    ).withColumn("e_j", F.col("e_i") + F.col("lag") * tier_s)
+    b = roll.select("source", F.col("epoch_s").alias("e_j"), F.col("token_count").alias("v_j"))
+    pairs = a.join(b, ["source", "e_j"])
+    return pairs.groupBy("source", F.col("lag").cast("long").alias("lag")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(
+            F.avg(F.abs(F.log((F.col("v_i") + 1.0) / (F.col("v_j") + 1.0)))), 6
+        ).alias("mean_abs_logratio"),
+        F.round(
+            F.expr(
+                "covar_samp(v_i, v_j) / nullif(stddev_samp(v_i) * stddev_samp(v_j), 0.0)"
+            ),
+            6,
+        ).alias("lag_corr"),
+    )
+
+
+def kappa_grid_search(
+    triplets: DataFrame, kappas: tuple[float, ...] = (0.25, 0.5, 1.0, 2.0, 4.0)
+) -> DataFrame:
+    """Kappa grid optimization (covsar/optimize_kappa.py:44-57): score each
+    kappa's logistic transform of the triplet level against the closures
+    (R^2 of the linear fit) per source, keep the argmax
+    (np.argmax(R2s) -> row_number = 1). Scores are rounded BEFORE ranking so
+    the argmax is engine-deterministic; ties break toward smaller kappa."""
+    from pyspark.sql import Window as W
+
+    from ..functions.complexmath import logistic
+
+    g = triplets.withColumn(
+        "kappa", F.explode(F.array(*[F.lit(k) for k in kappas]))
+    ).withColumn("x", logistic(F.col("level") - 1.0, F.col("kappa")))
+    scored = g.groupBy("source", "kappa").agg(
+        F.count(F.lit(1)).alias("n_triplets"),
+        F.round(
+            F.expr(
+                "pow(covar_samp(x, closure), 2)"
+                " / nullif(var_samp(x) * var_samp(closure), 0.0)"
+            ),
+            6,
+        ).alias("r2"),
+    )
+    w = W.partitionBy("source").orderBy(F.col("r2").desc(), F.col("kappa").asc())
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("source", F.col("kappa").alias("best_kappa"), F.col("r2").alias("best_r2"), "n_triplets")
+    )
+
+
 def ranked_span_epochs(
     roll: DataFrame, span_s: int = 600, max_epochs: int = 10
 ) -> DataFrame:

@@ -165,6 +165,99 @@ def correct_span(v: np.ndarray) -> dict:
     }
 
 
+@lru_cache(maxsize=64)
+def _batch_constants(n: int):
+    """Extra per-N constants for the batched kernel: the theta projector
+    Tmat (phi @ Tmat = per-epoch theta row-means of the antisymmetric pair
+    matrix) and the inverse adjacent-triplet Gram inv(A_adj A_adj^T) — the
+    sigma^2-independent core of the chi2 statistic."""
+    A, A_dag, pi, pj, ti, tj, tk, adj, sd = _constants(n)
+    P = len(pi)
+    Tmat = np.zeros((P, n))
+    Tmat[np.arange(P), pi] += 1.0 / n
+    Tmat[np.arange(P), pj] -= 1.0 / n
+    A_adj = A[adj]
+    Minv = np.linalg.inv(A_adj @ A_adj.T) if len(adj) else np.zeros((0, 0))
+    return Tmat, Minv
+
+
+def correct_span_batch(series: list[np.ndarray]) -> list[dict]:
+    """Vectorized correct_span over many spans: spans sharing a length run
+    through batched gemms (PHI @ A^T, EST @ A_dag^T, einsum chi2) instead of
+    a per-span Python loop — the same no-per-row-Python discipline as
+    `eigen.lagcov_eig_batch` (covsar/library.py:121-128 chunking). Math is
+    identical to `correct_span` up to BLAS summation order (pinned to ~1e-9
+    in tests/test_closure_correct.py)."""
+    out: list[dict | None] = [None] * len(series)
+    by_len: dict[int, list[int]] = {}
+    for i, s in enumerate(series):
+        by_len.setdefault(len(s), []).append(i)
+    for n, idxs in by_len.items():
+        if n < 3:
+            for i in idxs:
+                out[i] = correct_span(series[i])
+            continue
+        A, A_dag, pi, pj, ti, tj, tk, adj, sd = _constants(n)
+        Tmat, Minv = _batch_constants(n)
+        B = len(idxs)
+        V = np.empty((B, n), dtype=np.float64)
+        for b, i in enumerate(idxs):
+            V[b] = series[i]
+        ivals = 10.0 * np.log10(V + 1.0)
+        D = V[:, pi] - V[:, pj]
+        PHI = np.sign(D) * np.abs(D) ** (1.0 / 3.0)
+        C = PHI @ A.T
+        AMP = (ivals[:, ti] - ivals[:, tj]) - (ivals[:, tj] - ivals[:, tk])
+
+        am = AMP.mean(axis=1, keepdims=True)
+        cm = C.mean(axis=1, keepdims=True)
+        va = AMP.var(axis=1)
+        cov = ((AMP - am) * (C - cm)).mean(axis=1)
+        slope = np.where(va > 1e-30, cov / np.where(va > 1e-30, va, 1.0), 0.0)
+        intercept = cm[:, 0] - slope * am[:, 0]
+        sa = AMP.std(axis=1)
+        sc = C.std(axis=1)
+        ok = (sa > 1e-15) & (sc > 1e-15)
+        r = np.where(ok, cov / np.where(ok, sa * sc, 1.0), 0.0)
+        EST = intercept[:, None] + slope[:, None] * AMP
+        rmse = np.sqrt(np.mean((EST - C) ** 2, axis=1))
+
+        PHI_ERR = EST @ A_dag.T
+        PHI_CORR = PHI - PHI_ERR
+
+        drift = np.cumsum(PHI_CORR[:, sd], axis=1) - np.cumsum(PHI[:, sd], axis=1)
+        drift_rms = np.sqrt(np.mean(drift**2, axis=1))
+        x = np.arange(n - 1, dtype=np.float64)
+        vx = x.var()
+        bias = (
+            ((x - x.mean()) * (drift - drift.mean(axis=1, keepdims=True))).mean(axis=1) / vx
+            if vx > 0
+            else np.zeros(B)
+        )
+
+        C_adj = C[:, adj]
+        THETA = PHI @ Tmat
+        E_RAW = PHI - (THETA[:, pi] - THETA[:, pj])
+        dof_res = max(len(pi) - (n - 1), 1)
+        sigma2 = (E_RAW**2).sum(axis=1) / dof_res
+        quad = np.einsum("bi,ij,bj->b", C_adj, Minv, C_adj) if len(adj) else np.zeros(B)
+        s_ok = (sigma2 > 1e-30) & (len(adj) > 0)
+        s_stat = np.where(s_ok, quad / np.where(s_ok, sigma2, 1.0), 0.0)
+        k = (n - 1) * (n - 2) / 2.0
+        pval = np.where(s_stat > 0, chi2_sf(s_stat, k), 1.0)
+
+        for b, i in enumerate(idxs):
+            out[i] = {
+                "n_epochs": n, "pi": pi, "pj": pj, "phi": PHI[b],
+                "phi_err": PHI_ERR[b], "phi_corr": PHI_CORR[b],
+                "r": float(r[b]), "slope": float(slope[b]),
+                "intercept": float(intercept[b]), "rmse": float(rmse[b]),
+                "drift_rms": float(drift_rms[b]), "bias": float(bias[b]),
+                "chi2_s": float(s_stat[b]), "pval": float(pval[b]),
+            }
+    return out  # type: ignore[return-value]
+
+
 _SPAN_SCHEMA = T.StructType(
     [
         T.StructField("source", T.StringType(), False),
@@ -205,19 +298,22 @@ def closure_correct(
     )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        rows = []
+        keys, series = [], []
         for (src, sp), g in pdf.groupby(["source", "span_s"], sort=True):
             g = g.sort_values("epoch_s", kind="mergesort")
-            res = correct_span(g["val"].to_numpy(np.float64)[:max_epochs])
-            rows.append(
-                (
-                    src, sp, res["n_epochs"],
-                    res["pi"].astype(np.int32), res["pj"].astype(np.int32),
-                    res["phi"], res["phi_err"], res["phi_corr"],
-                    res["r"], res["slope"], res["intercept"], res["rmse"],
-                    res["drift_rms"], res["bias"], res["chi2_s"], res["pval"],
-                )
+            keys.append((src, sp))
+            series.append(g["val"].to_numpy(np.float64)[:max_epochs])
+        results = correct_span_batch(series)
+        rows = [
+            (
+                src, sp, res["n_epochs"],
+                np.asarray(res["pi"], np.int32), np.asarray(res["pj"], np.int32),
+                res["phi"], res["phi_err"], res["phi_corr"],
+                res["r"], res["slope"], res["intercept"], res["rmse"],
+                res["drift_rms"], res["bias"], res["chi2_s"], res["pval"],
             )
+            for (src, sp), res in zip(keys, results)
+        ]
         return pd.DataFrame(rows, columns=[f.name for f in _SPAN_SCHEMA.fields])
 
     return with_span.groupBy("source", "_bkt").applyInPandas(kernel, _SPAN_SCHEMA)

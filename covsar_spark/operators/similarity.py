@@ -251,20 +251,30 @@ def near_dup_lsh(
             ]
         )
     ).alias("key")
-    b = emb.select("vec_id", "embedding", "label", keys).select(
-        "vec_id", "embedding", "label", F.col("key.t").alias("t"), F.col("key.bk").alias("bk")
+    b = emb.select("vec_id", keys).select(
+        "vec_id", F.col("key.t").alias("t"), F.col("key.bk").alias("bk")
     )
-    a = b.select(
-        "t", "bk", F.col("vec_id").alias("id_a"),
-        F.col("embedding").alias("va"), F.col("label").alias("label_a"),
+    # candidates as BARE id pairs: dedup before any vector ships through a
+    # shuffle or Arrow (the id-pair set is ~10x smaller than pairs x dim)
+    cand = (
+        b.select("t", "bk", F.col("vec_id").alias("id_a"))
+        .join(b.select("t", "bk", F.col("vec_id").alias("id_b")), ["t", "bk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
     )
-    c = b.select(
-        "t", "bk", F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("vb"), F.col("label").alias("label_b"),
+    ea = emb.select(
+        F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"), F.col("label").alias("label_a")
     )
-    cand = a.join(c, ["t", "bk"]).filter(F.col("id_a") < F.col("id_b")).dropDuplicates(
-        ["id_a", "id_b"]
+    eb = emb.select(
+        F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"), F.col("label").alias("label_b")
     )
-    return cand.withColumn("sim", pair_cosine(F.col("va"), F.col("vb"))).filter(
-        F.col("sim") >= threshold
-    ).select("id_a", "id_b", (F.col("label_a") == F.col("label_b")).alias("same_label"))
+    verified = (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .withColumn("sim", pair_cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("sim") >= threshold)
+    )
+    return verified.select(
+        "id_a", "id_b", (F.col("label_a") == F.col("label_b")).alias("same_label")
+    )

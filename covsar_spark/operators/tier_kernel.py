@@ -80,6 +80,7 @@ def _process(pdf: pd.DataFrame, tier_s: int, span: int, p: int) -> pd.DataFrame:
     nd_ = pdf["n_docs"].to_numpy()
     mx_ = pdf["max_tok"].to_numpy()
     mn_ = pdf["min_tok"].to_numpy()
+    rt_ = pdf["rate"].to_numpy()
 
     change = (spn[1:] != spn[:-1]) | (src[1:] != src[:-1])
     starts = np.concatenate([[0], np.flatnonzero(change) + 1, [len(spn)]])
@@ -100,6 +101,10 @@ def _process(pdf: pd.DataFrame, tier_s: int, span: int, p: int) -> pd.DataFrame:
         mxv = np.full(k, np.nan)
         mnv = np.full(k, np.nan)
         filled = np.ones(k, dtype=bool)
+        # zero-filled epochs carry rate 0; observed epochs carry the INPUT
+        # rollup's rate column verbatim (not a tok/tier_s recompute, which
+        # would silently diverge for rollups whose rate is e.g. pre-rounded)
+        rate = np.zeros(k, dtype=np.float64)
         d0 = a + (1 if sentinel[a] else 0)
         if b > d0:
             idx = (eps[d0:b] - g0) // tier_s
@@ -107,8 +112,8 @@ def _process(pdf: pd.DataFrame, tier_s: int, span: int, p: int) -> pd.DataFrame:
             ndc[idx] = nd_[d0:b]
             mxv[idx] = mx_[d0:b]
             mnv[idx] = mn_[d0:b]
+            rate[idx] = rt_[d0:b]
             filled[idx] = False
-        rate = tok / float(tier_s)
         out_src.append(src[a])
         out_spn.append(sp)
         series.append(tok.astype(np.float64))
@@ -180,6 +185,7 @@ def tier_kernel(
         F.lit(None).cast("long").alias("n_docs"),
         F.lit(None).cast("int").alias("max_tok"),
         F.lit(None).cast("int").alias("min_tok"),
+        F.lit(None).cast("double").alias("rate"),
     )
     data = rollup.select(
         "source",
@@ -192,6 +198,7 @@ def tier_kernel(
         "n_docs",
         "max_tok",
         "min_tok",
+        F.col("rate").cast("double").alias("rate"),
     )
     prep = (
         sentinels.unionByName(data)

@@ -94,6 +94,20 @@ def test_kernel_vs_explicit_golden(n):
         assert abs(res[k] - g[k]) < 1e-8, (k, res[k], g[k])
 
 
+def test_batch_matches_single():
+    from covsar_spark.operators.closure_correct import correct_span_batch
+
+    series = [RNG.integers(1, 1000, n).astype(float) for n in (4, 7, 20, 20, 10, 2, 7)]
+    batch = correct_span_batch(series)
+    for s, res in zip(series, batch):
+        single = correct_span(s)
+        assert res["n_epochs"] == single["n_epochs"]
+        for k in ("phi", "phi_err", "phi_corr"):
+            np.testing.assert_allclose(res[k], single[k], rtol=1e-9, atol=1e-12, err_msg=k)
+        for k in ("r", "slope", "intercept", "rmse", "drift_rms", "bias", "chi2_s", "pval"):
+            assert abs(res[k] - single[k]) < 1e-8, (k, res[k], single[k])
+
+
 def test_consistent_series_needs_no_correction():
     # a constant series has zero pair differences -> zero closures -> the
     # fitted correction is exactly zero and pval = 1 (nothing to explain)
@@ -138,14 +152,12 @@ def test_spark_matches_oracle_exact(spark):
     assert len(got) == len(want)
     for c in got.columns:
         if got[c].dtype.kind == "f":
-            if c in ("drift_rms", "bias"):
-                # the A-dagger gemm runs under pinned single-thread BLAS in
-                # workers vs threaded BLAS on the driver — last-ulp drift
-                np.testing.assert_allclose(
-                    got[c].to_numpy(), want[c].to_numpy(), rtol=0, atol=1e-10, err_msg=c
-                )
-            else:
-                np.testing.assert_array_equal(got[c].to_numpy(), want[c].to_numpy(), err_msg=c)
+            # the Spark kernel runs the BATCHED gemm form (and worker BLAS is
+            # pinned single-thread); the driver oracle is per-span — equal up
+            # to BLAS summation order
+            np.testing.assert_allclose(
+                got[c].to_numpy(), want[c].to_numpy(), rtol=1e-9, atol=1e-9, err_msg=c
+            )
         else:
             assert (got[c] == want[c]).all(), c
 
