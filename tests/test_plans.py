@@ -75,6 +75,55 @@ def test_whole_stage_codegen_on_q1(spark):
     assert "BatchEvalPython" not in _plan(df)
 
 
+def test_bootstrap_single_aggregation_no_explode(spark):
+    """bootstrap_pvalue must stay ONE wide aggregate over the base rows —
+    the rows x reps explode formulation cost 8.4s at sf0.1."""
+    from covsar_spark.contract import QUERIES
+
+    plan = _plan(QUERIES["bootstrap_pvalue"](spark, "/root/testdata/sf0.001"))
+    assert "Generate explode" not in plan and "Generate " not in plan
+    assert "partial_" in plan  # map-side combine of the 120 conditional aggs
+
+
+def test_near_dup_pairs_no_driver_state(spark):
+    """The block-matmul near-dup must be a shuffle+broadcast plan: packed
+    blocks (ObjectHashAggregate collect_list), broadcast block pairing, and
+    the gemm in mapInPandas — never a driver-side collect (round-1 finding)."""
+    from covsar_spark.operators.similarity import near_dup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = _plan(near_dup_pairs(emb))
+    assert "MapInPandas" in plan
+    assert "BroadcastExchange" in plan  # tiny packed-block side broadcast
+    assert "CollectLimit" not in plan
+
+
+def test_minhash_single_shuffle_partial_agg(spark):
+    """All 16 mins in one aggregate: exactly one exchange (doc_id), with
+    map-side partial mins — the param cross-join shuffled rows x16."""
+    from covsar_spark.contract import QUERIES
+
+    plan = _plan(QUERIES["minhash_signatures"](spark, "/root/testdata/sf0.001"))
+    assert plan.count("Exchange") == 1
+    assert "partial_min" in plan
+
+
+def test_closure_kernel_single_exchange(spark):
+    """The closure-correction kernel is one span-bucket shuffle + one
+    FlatMapGroupsInPandas — no joins, no extra exchanges."""
+    from covsar_spark.operators.closure_correct import closure_correct
+
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"source": ["a"] * 10, "epoch_s": [60 * i for i in range(10)], "token_count": range(10)}
+    )
+    plan = _plan(closure_correct(spark.createDataFrame(pdf), "1m"))
+    assert plan.count("Exchange") == 1
+    assert "FlatMapGroupsInPandas" in plan
+    assert "Join" not in plan
+
+
 def test_tier_kernel_single_exchange(spark, tiny_cols):
     """The fast-path tier kernel must add exactly ONE exchange beyond the
     input (its repartition) — the sentinel branch reuses the rollup."""
