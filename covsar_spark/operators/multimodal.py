@@ -101,6 +101,31 @@ def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
     )
 
 
+def read_binary_dir(spark, path: str, pattern: str = "*.bin") -> DataFrame:
+    """S3 raw binary scan (covsar/isceio.py:131-143 `np.fromfile` analogue):
+    Spark's built-in binaryFile source — one row per file with (path,
+    modificationTime, length, content) — mapped onto MEDIA_SCHEMA. Kind is
+    derived from the filename stem (`<id>.<kind>.bin`); metadata defaults
+    ride along for the decode stub."""
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .load(path)
+    )
+    base = F.element_at(F.split(F.col("path"), "/"), -1)
+    return raw.select(
+        F.element_at(F.split(base, r"\."), 1).alias("media_id"),
+        F.element_at(F.split(base, r"\."), 2).alias("kind"),
+        F.col("content").alias("payload"),
+        F.struct(
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("sample_rate"),
+            F.lit(None).cast("int").alias("n_frames"),
+        ).alias("meta"),
+    )
+
+
 def frame_sample(media: DataFrame, every: int = 10) -> DataFrame:
     """Video frame sampling plumbing: one output row per sampled frame index
     (the decode of the actual frame bytes is the FAKE_DECODE stub)."""

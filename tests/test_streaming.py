@@ -44,6 +44,31 @@ def test_multimodal_plumbing(spark):
     assert set(fs["frame_idx"]) == {0, 10, 20}  # n_frames=30
 
 
+def test_binary_file_source_roundtrip(spark, tmp_path):
+    """S3 raw binary scan: the binaryFile source must deliver payload bytes
+    byte-identical, feeding the same decode plumbing as synth media."""
+    import hashlib
+
+    import numpy as np
+
+    from covsar_spark.operators.multimodal import extract_features, read_binary_dir
+
+    rng = np.random.default_rng(11)
+    want = {}
+    for i in range(6):
+        kind = ["image", "audio", "video"][i % 3]
+        payload = bytes(rng.integers(0, 256, 256, dtype=np.uint8))
+        (tmp_path / f"m{i:03d}.{kind}.bin").write_bytes(payload)
+        want[f"m{i:03d}"] = (kind, hashlib.sha256(payload).hexdigest())
+    media = read_binary_dir(spark, str(tmp_path))
+    feats = extract_features(media).toPandas().sort_values("media_id")
+    assert len(feats) == 6
+    for _, r in feats.iterrows():
+        kind, sha = want[r["media_id"]]
+        assert r["kind"] == kind
+        assert r["payload_sha"] == sha  # byte-exact through the source + Arrow
+
+
 def test_stateful_totals_match_batch(spark, tmp_path):
     """applyInPandasWithState running totals: the LAST update per source must
     equal the batch aggregate exactly (integral state)."""
