@@ -64,6 +64,7 @@ BENCH_QUERIES = [
     "quality_score",
     "fingerprint",
     "ann_cosine_topk",
+    "ann_ivf_topk",
     "near_dup_cosine",
     "high_pass_ratio",
     "gapfill_linear_1m",

@@ -1223,6 +1223,15 @@ def ann_lsh_topk(spark, sf_dir):
     return r.withColumn("rank", F.col("rank").cast("long"))
 
 
+@register("ann_ivf_topk")
+def ann_ivf_topk(spark, sf_dir):
+    """IVF ANN (inverted lists under a deterministic coarse quantizer,
+    multi-probe queries) — approximate by design: rows-only; recall floor
+    vs cosine_topk pinned in tests/test_similarity.py."""
+    r = sim_ops.ivf_topk(_read(spark, sf_dir, "embeddings"), n_queries=5, k=10)
+    return r.withColumn("rank", F.col("rank").cast("long"))
+
+
 @register("near_dup_lsh")
 def near_dup_lsh_q(spark, sf_dir):
     """Sub-quadratic near-dup path: multi-table LSH candidates + exact Arrow

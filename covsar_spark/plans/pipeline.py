@@ -30,6 +30,7 @@ def run_tiers(
     with_eigen: bool = True,
     with_chunks: bool = False,
     with_filled: bool = True,
+    with_closure: bool = False,
     persist: bool = True,
     persist_fused: bool = True,
     horizon_s: int | None = None,
@@ -89,6 +90,14 @@ def run_tiers(
                 d["eigen"] = eigen_rollup(filled, tier)
             elif with_chunks:
                 d["chunks"] = compress_rollup(filled, tier)
+        if with_closure:
+            # the defining CovSAR step as a pipeline stage: per-(source,
+            # eigen-span) closure evaluation + fit + least-norm correction +
+            # drift/chi2 stats (operators/closure_correct.py) off the same
+            # persisted rollup the eigen kernel reads
+            from ..operators.closure_correct import closure_correct, span_stats
+
+            d["closure"] = span_stats(closure_correct(roll, tier))
         out[tier] = d
         finer = roll
     return out

@@ -85,6 +85,20 @@ def test_near_dup_lsh_subset_and_recall(emb_df):
     assert recall >= 0.5, f"near_dup_lsh recall = {recall:.3f}"
 
 
+def test_ivf_topk_recall(emb_df):
+    from covsar_spark.operators.similarity import ivf_topk
+
+    sdf, _, _ = emb_df
+    nq, k = 20, 10
+    exact = cosine_topk(sdf, n_queries=nq, k=k).toPandas()
+    approx = ivf_topk(sdf, n_queries=nq, k=k, n_lists=16, n_probe=4).toPandas()
+    e = {(int(r.query_id), int(r.neighbor_id)) for r in exact.itertuples()}
+    a = {(int(r.query_id), int(r.neighbor_id)) for r in approx.itertuples()}
+    recall = len(e & a) / len(e)
+    # 4-probe of 16 lists on clustered data — measured ~0.9 on this fixture
+    assert recall >= 0.7, f"ivf_topk recall@{k} = {recall:.3f}"
+
+
 def test_lsh_bucket_deterministic_across_batches(spark):
     # same vector -> same bucket regardless of Arrow batch composition
     from covsar_spark.operators.similarity import lsh_bucket_udf
