@@ -44,6 +44,37 @@ def test_multimodal_plumbing(spark):
     assert set(fs["frame_idx"]) == {0, 10, 20}  # n_frames=30
 
 
+def test_streaming_cascade_matches_batch(spark, tmp_path):
+    """Continuous-aggregate maintenance: the streamed 1h tier must equal a
+    batch cascade over the same finalized 1m windows exactly (integral
+    sums), and the 1m tier must hold each finalized window exactly once."""
+    from covsar_spark.streaming.cascade_stream import cascade_1h_from_1m, run_cascade_stream
+
+    path = str(tmp_path / "tok")
+    write_tokens(path, 2000, seed=42)
+    tier_1m, tier_1h = run_cascade_stream(spark, path, str(tmp_path / "tiers"))
+    m1 = spark.read.parquet(tier_1m)
+    # exactly-once: every finalized (source, window) appears once
+    dup = m1.groupBy("source", "epoch_s").count().filter("count > 1").count()
+    assert dup == 0
+    got = (
+        spark.read.parquet(tier_1h)
+        .select("source", "epoch_s", "token_count", "n_docs", "max_tok", "min_tok")
+        .toPandas()
+        .sort_values(["source", "epoch_s"])
+        .reset_index(drop=True)
+    )
+    want = (
+        cascade_1h_from_1m(m1.drop("batch_id"))
+        .toPandas()
+        .sort_values(["source", "epoch_s"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) and len(got) > 0
+    for c in ("token_count", "n_docs", "max_tok", "min_tok"):
+        assert np.array_equal(got[c].to_numpy(), want[c].to_numpy()), c
+
+
 def test_binary_file_source_roundtrip(spark, tmp_path):
     """S3 raw binary scan: the binaryFile source must deliver payload bytes
     byte-identical, feeding the same decode plumbing as synth media."""
