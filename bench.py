@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     "word_stats",
     "quality_score",
     "fingerprint",
+    "vocab_topk",
+    "token_packing",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "near_dup_cosine",

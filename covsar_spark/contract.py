@@ -1122,6 +1122,82 @@ def fingerprint(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Token-domain ops on the derived training-sequence table
+# ---------------------------------------------------------------------------
+
+
+def _tokens(spark, sf_dir) -> DataFrame:
+    """Deterministic tokens table (BASELINE.json:input_hint shape) derived
+    from documents exactly like __spark_entry__._tokens_from_documents —
+    md5-hashed words mod 50257, replayable bit-for-bit by the SQL oracle."""
+    from .operators.text import md5_int40, words_col
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = F.transform(words_col(), lambda w: F.pmod(md5_int40(w), F.lit(50257)).cast("int"))
+    return docs.select(
+        F.concat(F.lit("doc-"), F.lpad(F.col("doc_id").cast("string"), 12, "0")).alias("doc_id"),
+        toks.alias("tokens"),
+        F.size(toks).cast("int").alias("n_tok"),
+        "source",
+    )
+
+
+_TOKENS_SQL = r"""
+  tok AS (
+    SELECT 'doc-' || lpad(doc_id::VARCHAR, 12, '0') AS doc_id, source,
+           list_transform({words}, w ->
+             ((('0x' || substr(md5(w), 1, 10))::BIGINT % 50257))::INT) AS tokens,
+           len({words})::BIGINT AS n_tok
+    FROM documents)
+""".format(words=_WORDS_SQL)
+
+
+@register(
+    "vocab_topk",
+    f"""
+    WITH {_TOKENS_SQL},
+    t AS (SELECT source, unnest(tokens) AS token FROM tok),
+    f AS (SELECT source, token, count(*)::BIGINT AS n FROM t GROUP BY 1, 2),
+    r AS (SELECT source, token, n,
+                 row_number() OVER (PARTITION BY source ORDER BY n DESC, token) AS rank
+          FROM f)
+    SELECT source, rank, token, n FROM r WHERE rank <= 20
+    """,
+)
+def vocab_topk_q(spark, sf_dir):
+    """Vocabulary frequency top-k per source — the canonical Zipf-skewed
+    training-data aggregation (explode + map-side partial count)."""
+    from .operators.tokens import vocab_topk
+
+    r = vocab_topk(_tokens(spark, sf_dir), k=20)
+    return r.select("source", F.col("rank").cast("long").alias("rank"),
+                    F.col("token").cast("long").alias("token"), "n")
+
+
+@register(
+    "token_packing",
+    f"""
+    WITH {_TOKENS_SQL},
+    c AS (SELECT source, doc_id, n_tok,
+                 sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+          FROM tok),
+    b AS (SELECT source, ((cum - n_tok) // 2048)::BIGINT AS bin, n_tok FROM c)
+    SELECT source, bin, count(*)::BIGINT AS n_docs, sum(n_tok)::BIGINT AS n_tokens,
+           round(sum(n_tok) / 2048.0, 6) AS fill_ratio
+    FROM b GROUP BY 1, 2
+    """,
+)
+def token_packing(spark, sf_dir):
+    """Greedy deterministic sequence packing into 2048-token training bins
+    (per-source doc order, running-offset bin assignment) — one window pass
+    + one grouped aggregate."""
+    from .operators.tokens import pack_sequences
+
+    return pack_sequences(_tokens(spark, sf_dir), capacity=2048)
+
+
+# ---------------------------------------------------------------------------
 # Similarity search on embeddings
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,60 @@
+"""Token-domain operators over the pre-tokenized training-sequence table
+(doc_id, tokens array<int32>, n_tok, source — BASELINE.json:input_hint):
+vocabulary statistics and sequence packing, the two table-wide passes every
+large-scale training-data pipeline runs before a training job.
+
+Both are pure DataFrame compositions with exact DuckDB oracles (tokens are
+derived from document words via the shared md5 hash, so both engines see the
+identical token stream).
+
+Scale notes:
+- vocab_topk: explode(tokens) -> groupBy(token) count is THE canonical
+  skew-prone aggregation (Zipf tokens); it partial-aggregates map-side, so
+  the shuffle carries at most |vocab| x partitions rows, not the corpus.
+- pack_sequences: greedy deterministic packing — docs ordered per source,
+  running token cumsum, bin = floor(cumsum / capacity). One window pass +
+  one grouped aggregate; first-fit-decreasing quality is traded for
+  determinism + a relational plan (the oracle must replay it exactly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def vocab_topk(tokens: DataFrame, k: int = 20) -> DataFrame:
+    """Top-k token ids by frequency per source: (source, rank, token, n).
+    Ties break toward the smaller token id so ranking is engine-exact."""
+    freq = (
+        tokens.select("source", F.explode("tokens").alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = W.partitionBy("source").orderBy(F.col("n").desc(), F.col("token").asc())
+    return (
+        freq.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("source", "rank", "token", "n")
+    )
+
+
+def pack_sequences(tokens: DataFrame, capacity: int = 2048) -> DataFrame:
+    """Greedy sequence packing into fixed-capacity training bins:
+    per source, docs in doc_id order are assigned bin = floor((cumsum(n_tok)
+    - n_tok) / capacity) — each doc lands in the bin its starting offset
+    falls in (docs longer than capacity span bins; they count toward the bin
+    they start in). Output: one row per (source, bin) with the packed doc
+    count, token total, and fill ratio."""
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    binned = tokens.select(
+        "source",
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tok"),
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / capacity).cast("long").alias("bin"),
+    )
+    return binned.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.round(F.sum("n_tok") / float(capacity), 6).alias("fill_ratio"),
+    )
