@@ -828,13 +828,13 @@ def closure_invert(spark, sf_dir):
     )
 
 
-def _span_kernel(spark, sf_dir):
+def _span_kernel(spark, sf_dir, emit_pairs: bool = True):
     from .operators.closure_correct import closure_correct
 
     # zero gap-fill first: dense spans (20 epochs after the files[:20]-style
     # cap) exercise the full correction path, not the degenerate n<3 branch
     roll = gapfill(_events_1m(spark, sf_dir), "1m", "zero")
-    return closure_correct(roll, "1m")
+    return closure_correct(roll, "1m", emit_pairs=emit_pairs)
 
 
 @register("closure_pair_correction")
@@ -860,7 +860,7 @@ def corrected_drift(spark, sf_dir):
     (J5, covsar/closure_inten.py:512-551). Kernel op: rows-only."""
     from .operators.closure_correct import span_stats
 
-    s = span_stats(_span_kernel(spark, sf_dir))
+    s = span_stats(_span_kernel(spark, sf_dir, emit_pairs=False))
     return s.select(
         "source", "span_s", "n_epochs",
         F.round("r", 6).alias("r"),
@@ -879,7 +879,7 @@ def chi2_significance(spark, sf_dir):
     tests/test_stats.py."""
     from .operators.closure_correct import span_stats
 
-    s = span_stats(_span_kernel(spark, sf_dir))
+    s = span_stats(_span_kernel(spark, sf_dir, emit_pairs=False))
     return s.select(
         "source", "span_s", "n_epochs",
         F.round("chi2_s", 4).alias("chi2_s"),

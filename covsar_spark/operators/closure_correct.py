@@ -280,22 +280,31 @@ _SPAN_SCHEMA = T.StructType(
 )
 
 
+_ARRAY_COLS = ("p_i", "p_j", "phi", "phi_err", "phi_corr")
+_STATS_SCHEMA = T.StructType([f for f in _SPAN_SCHEMA.fields if f.name not in _ARRAY_COLS])
+
+
 def closure_correct(
     rollup: DataFrame,
     tier: str,
     value_col: str = "token_count",
     max_epochs: int = MAX_EPOCHS,
     span_buckets: int = 32,
+    emit_pairs: bool = True,
 ) -> DataFrame:
     """Grouped correction kernel: one span row per (source, eigen-span) with
-    pair arrays + fit/drift/chi2 stats. One shuffle, span-bucketed like
-    operators/eigen.eigen_rollup (many spans per Arrow batch)."""
+    fit/drift/chi2 stats (+ pair arrays when ``emit_pairs``). One shuffle,
+    span-bucketed like operators/eigen.eigen_rollup (many spans per Arrow
+    batch). ``emit_pairs=False`` keeps the P-sized arrays out of the Arrow
+    return path when only the stats are consumed (~190 doubles x 3 per span
+    saved)."""
     span = EIGEN_SPAN[tier]
     with_span = (
         rollup.withColumn("span_s", (F.floor(F.col("epoch_s") / span) * span).cast("long"))
         .withColumn("_bkt", F.pmod(F.floor(F.col("span_s") / span), F.lit(span_buckets)))
         .select("source", "_bkt", "span_s", "epoch_s", F.col(value_col).cast("double").alias("val"))
     )
+    schema = _SPAN_SCHEMA if emit_pairs else _STATS_SCHEMA
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
         keys, series = [], []
@@ -304,19 +313,29 @@ def closure_correct(
             keys.append((src, sp))
             series.append(g["val"].to_numpy(np.float64)[:max_epochs])
         results = correct_span_batch(series)
-        rows = [
-            (
-                src, sp, res["n_epochs"],
-                np.asarray(res["pi"], np.int32), np.asarray(res["pj"], np.int32),
-                res["phi"], res["phi_err"], res["phi_corr"],
-                res["r"], res["slope"], res["intercept"], res["rmse"],
-                res["drift_rms"], res["bias"], res["chi2_s"], res["pval"],
-            )
-            for (src, sp), res in zip(keys, results)
-        ]
-        return pd.DataFrame(rows, columns=[f.name for f in _SPAN_SCHEMA.fields])
+        if emit_pairs:
+            rows = [
+                (
+                    src, sp, res["n_epochs"],
+                    np.asarray(res["pi"], np.int32), np.asarray(res["pj"], np.int32),
+                    res["phi"], res["phi_err"], res["phi_corr"],
+                    res["r"], res["slope"], res["intercept"], res["rmse"],
+                    res["drift_rms"], res["bias"], res["chi2_s"], res["pval"],
+                )
+                for (src, sp), res in zip(keys, results)
+            ]
+        else:
+            rows = [
+                (
+                    src, sp, res["n_epochs"],
+                    res["r"], res["slope"], res["intercept"], res["rmse"],
+                    res["drift_rms"], res["bias"], res["chi2_s"], res["pval"],
+                )
+                for (src, sp), res in zip(keys, results)
+            ]
+        return pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
-    return with_span.groupBy("source", "_bkt").applyInPandas(kernel, _SPAN_SCHEMA)
+    return with_span.groupBy("source", "_bkt").applyInPandas(kernel, schema)
 
 
 def corrected_pairs(span_rows: DataFrame) -> DataFrame:

@@ -97,7 +97,7 @@ def run_tiers(
             # persisted rollup the eigen kernel reads
             from ..operators.closure_correct import closure_correct, span_stats
 
-            d["closure"] = span_stats(closure_correct(roll, tier))
+            d["closure"] = span_stats(closure_correct(roll, tier, emit_pairs=False))
         out[tier] = d
         finer = roll
     return out
