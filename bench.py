@@ -40,6 +40,7 @@ BENCH_QUERIES = [
     "sessionize",
     "q1_pricing",
     "region_revenue",
+    "asof_join",
     "epoch_pairs",
     "triplets_consecutive",
     "closure_regression",

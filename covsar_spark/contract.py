@@ -630,6 +630,40 @@ def closure_regression(spark, sf_dir):
 
 
 @register(
+    "asof_join",
+    f"""
+    WITH m AS ({_EV_1M_SQL}),
+    d AS (SELECT source, epoch_s, token_count FROM m WHERE (epoch_s // 60) % 7 = 0),
+    e AS (SELECT event_id, event_type AS source, floor(epoch(ts))::BIGINT AS ts_s
+          FROM events)
+    SELECT e.event_id, e.source, e.ts_s,
+           d.epoch_s AS asof_t, d.token_count AS asof_token_count
+    FROM e ASOF LEFT JOIN d ON e.source = d.source AND e.ts_s >= d.epoch_s
+    """,
+)
+def asof_join_q(spark, sf_dir):
+    """AS-OF join: each event matched to the most recent DECIMATED 1m rollup
+    row of its source at-or-before its timestamp (decimation makes matches
+    nontrivial: up to 7 minutes back, NULL before the first kept epoch).
+    Spark side is the tag-union + running-last operator (one sort-shuffle,
+    operators/asof.py); oracle is DuckDB's native ASOF JOIN."""
+    from .operators.asof import asof_join
+
+    m = _events_1m(spark, sf_dir).filter(
+        F.pmod(F.col("epoch_s") / 60, F.lit(7)) == 0
+    ).select("source", "epoch_s", "token_count")
+    ev = _read(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("event_type").alias("source"),
+        F.unix_timestamp("ts").alias("ts_s"),
+    )
+    out = asof_join(ev, m, on="source", left_t="ts_s", right_t="epoch_s",
+                    payload=["token_count"])
+    return out.select("event_id", "source", "ts_s", "asof_t",
+                      F.col("asof_token_count").alias("asof_token_count"))
+
+
+@register(
     "mean_lag_coherence",
     f"""
     WITH r AS ({_EV_1M_SQL}),

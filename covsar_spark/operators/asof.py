@@ -1,0 +1,70 @@
+"""AS-OF join — the timeseries join Spark lacks as a primitive (SURVEY.md
+J6/J7 are its window-aligned cousins; this is the general form: for every
+left row, the single right row of the same key with the greatest timestamp
+at-or-before the left timestamp).
+
+Implementation (scale-safe, no range/theta join): tag-and-union both sides,
+ONE sort-shuffle per key on (t, side), then a running `last(..., ignorenulls)`
+window carries the most recent right-side payload forward onto left rows —
+O(n log n) with a single exchange, vs the nested-loop plan a raw
+`l.t >= r.t` theta join degrades to (the same trap epoch_pairs hit, 46s at
+sf0.1). DuckDB replays it with its native ASOF JOIN, so the contract entry
+has an exact oracle.
+
+At 100 TB: the union shuffle hash-partitions on the key; per-key sort is the
+merge of two time-sorted streams; skewed keys split by AQE like any sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_t: str,
+    right_t: str,
+    payload: list[str],
+    strict: bool = False,
+) -> DataFrame:
+    """For each left row: the right row of the same ``on`` key with the
+    greatest ``right_t`` <= ``left_t`` (< when ``strict``). Returns the left
+    rows plus ``asof_t`` and the right ``payload`` columns (NULL when no
+    right row precedes).
+
+    Ties at equal timestamps: the right row wins (at-or-before), matching
+    DuckDB's ASOF JOIN `ON l.t >= r.t` semantics.
+    """
+    lcols = left.columns
+    r_tagged = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_t).cast("long").alias("_t"),
+        F.lit(1).alias("_is_r"),
+        F.col(right_t).cast("long").alias("_rt"),
+        *[F.col(c).alias(f"_p_{c}") for c in payload],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+    )
+    l_tagged = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_t).cast("long").alias("_t"),
+        F.lit(0).alias("_is_r"),
+        F.lit(None).cast("long").alias("_rt"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_p_{c}") for c in payload],
+        *lcols,
+    )
+    u = r_tagged.unionByName(l_tagged)
+    # right rows sort before left rows at equal t (at-or-before); strict mode
+    # flips the order so an exactly-equal right row is NOT visible yet
+    order: list[Column] = [F.col("_t").asc(), F.col("_is_r").desc() if not strict else F.col("_is_r").asc()]
+    w = W.partitionBy("_k").orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
+    carried = u.select(
+        "*",
+        F.last("_rt", ignorenulls=True).over(w).alias("asof_t"),
+        *[F.last(f"_p_{c}", ignorenulls=True).over(w).alias(f"asof_{c}") for c in payload],
+    )
+    return carried.filter(F.col("_is_r") == 0).select(
+        *lcols, "asof_t", *[f"asof_{c}" for c in payload]
+    )
