@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "q1_pricing",
     "region_revenue",
     "asof_join",
+    "session_attribution",
     "epoch_pairs",
     "triplets_consecutive",
     "closure_regression",

@@ -664,6 +664,56 @@ def asof_join_q(spark, sf_dir):
 
 
 @register(
+    "session_attribution",
+    """
+    WITH o AS (
+      SELECT event_id, user_id, floor(epoch(ts))::BIGINT AS ts_s,
+             CASE WHEN floor(epoch(ts)) - floor(epoch(lag(ts) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id))) > 1800
+               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+             THEN 1 ELSE 0 END AS new_s
+      FROM events),
+    g AS (SELECT event_id, user_id, ts_s,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+          FROM o),
+    s AS (SELECT user_id, sid, min(ts_s) AS lo, max(ts_s) + 1 AS hi
+          FROM g GROUP BY 1, 2)
+    SELECT e.event_id, e.user_id, e.ts_s, s.lo AS session_start
+    FROM (SELECT event_id, user_id, floor(epoch(ts))::BIGINT AS ts_s FROM events) e
+    JOIN s ON e.user_id = s.user_id AND e.ts_s >= s.lo AND e.ts_s < s.hi
+    """,
+)
+def session_attribution(spark, sf_dir):
+    """Range join against VARIABLE-width intervals (each event attributed to
+    the session interval containing it): bucket-decomposed equi-join +
+    residual filter (operators/asof.range_join) — never the nested-loop plan
+    a raw between-predicate join degrades to. Oracle is DuckDB's plain range
+    join over the same session intervals."""
+    from .operators.asof import range_join
+
+    ev = _read(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    new_s = F.when(
+        prev.isNull() | (F.unix_timestamp("ts") - F.unix_timestamp(prev) > 1800), 1
+    ).otherwise(0)
+    o = ev.select(
+        "event_id", "user_id", F.unix_timestamp("ts").alias("ts_s"), new_s.alias("new_s")
+    )
+    w2 = W.partitionBy("user_id").orderBy("ts_s", "event_id").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    g = o.withColumn("sid", F.sum("new_s").over(w2))
+    sess = g.groupBy("user_id", "sid").agg(
+        F.min("ts_s").alias("lo"), (F.max("ts_s") + 1).alias("hi")
+    ).select("user_id", "lo", "hi")
+    pts = ev.select("event_id", "user_id", F.unix_timestamp("ts").alias("ts_s"))
+    out = range_join(pts, sess, on="user_id", t="ts_s", lo="lo", hi="hi", bucket_s=3600)
+    return out.select("event_id", "user_id", "ts_s", F.col("lo").alias("session_start"))
+
+
+@register(
     "mean_lag_coherence",
     f"""
     WITH r AS ({_EV_1M_SQL}),

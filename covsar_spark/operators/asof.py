@@ -21,6 +21,61 @@ from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str,
+    t: str,
+    lo: str,
+    hi: str,
+    bucket_s: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Points-in-interval join (t in [lo, hi)) against VARIABLE-width
+    intervals via bucket decomposition: each interval explodes into the
+    fixed-width buckets it covers, points join on (key, bucket) — an
+    equi-join Catalyst hash-partitions — and the residual between-filter
+    keeps exact semantics. Never a BroadcastNestedLoopJoin (the silent
+    degradation a raw `lo <= t AND t < hi` predicate causes).
+
+    ``bucket_s`` tunes fan-out: intervals explode into ceil(len/bucket_s)+1
+    rows; pick it near the median interval length. ``how='left'`` keeps
+    unmatched points with NULL interval columns.
+    """
+    icols = [c for c in intervals.columns if c != on]
+    iv = intervals.select(
+        F.col(on).alias("_k"),
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo) / bucket_s).cast("long"),
+                F.floor((F.col(hi) - 1) / bucket_s).cast("long"),
+            )
+        ).alias("_bkt"),
+        *icols,
+    )
+    pt = points.select(
+        F.col(on).alias("_k"),
+        F.floor(F.col(t) / bucket_s).cast("long").alias("_bkt"),
+        *points.columns,
+    )
+    matched = (
+        pt.join(iv, ["_k", "_bkt"])
+        .filter((F.col(t) >= F.col(lo)) & (F.col(t) < F.col(hi)))
+        .select(*points.columns, *icols)
+    )
+    if how == "left":
+        # points whose buckets matched but whose residual filter failed must
+        # still survive with NULL interval columns
+        unmatched = points.join(
+            matched.select(*points.columns).distinct(), points.columns, "left_anti"
+        ).select(
+            *points.columns,
+            *[F.lit(None).cast(intervals.schema[c].dataType).alias(c) for c in icols],
+        )
+        return matched.unionByName(unmatched)
+    return matched
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,

@@ -69,6 +69,59 @@ def test_asof_matches_pandas_merge_asof(spark):
         )
 
 
+def test_range_join_matches_brute_force(spark):
+    from covsar_spark.operators.asof import range_join
+
+    rng = np.random.default_rng(31)
+    pts = pd.DataFrame(
+        {
+            "k": rng.choice(["a", "b"], 300),
+            "t": rng.integers(0, 5000, 300).astype(np.int64),
+            "pid": np.arange(300, dtype=np.int64),
+        }
+    )
+    iv = pd.DataFrame(
+        {
+            "k": ["a", "a", "b", "b", "b"],
+            "lo": np.array([0, 2000, 100, 900, 4000], dtype=np.int64),
+            "hi": np.array([500, 4100, 800, 3900, 4500], dtype=np.int64),
+            "ivid": np.arange(5, dtype=np.int64),
+        }
+    )
+    want = pts.merge(iv, on="k")
+    want = want[(want["t"] >= want["lo"]) & (want["t"] < want["hi"])]
+    want_pairs = set(zip(want["pid"].astype(int), want["ivid"].astype(int)))
+    for bucket in (100, 1000, 7777):  # fan-out must not change semantics
+        got = range_join(
+            spark.createDataFrame(pts), spark.createDataFrame(iv),
+            on="k", t="t", lo="lo", hi="hi", bucket_s=bucket,
+        ).toPandas()
+        got_pairs = set(zip(got["pid"].astype(int), got["ivid"].astype(int)))
+        assert got_pairs == want_pairs, bucket
+    # left mode: unmatched points survive with NULLs
+    left = range_join(
+        spark.createDataFrame(pts), spark.createDataFrame(iv),
+        on="k", t="t", lo="lo", hi="hi", bucket_s=1000, how="left",
+    ).toPandas()
+    assert len(left) >= len(pts)
+    matched_pids = {p for p, _ in want_pairs}
+    null_rows = left[left["lo"].isna()]
+    assert set(null_rows["pid"].astype(int)) == set(pts["pid"].astype(int)) - matched_pids
+
+
+def test_range_join_not_nested_loop(spark):
+    from covsar_spark.operators.asof import range_join
+
+    pts = pd.DataFrame({"k": ["a"], "t": [1], "pid": [0]})
+    iv = pd.DataFrame({"k": ["a"], "lo": [0], "hi": [10], "ivid": [0]})
+    plan = (
+        range_join(spark.createDataFrame(pts), spark.createDataFrame(iv),
+                   on="k", t="t", lo="lo", hi="hi", bucket_s=100)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "NestedLoopJoin" not in plan
+
+
 def test_asof_single_exchange_no_join(spark):
     left, right = _fixture()
     sl, sr = spark.createDataFrame(left), spark.createDataFrame(right)
