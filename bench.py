@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "gapfill_linear_1m",
     "eigen_1m",
     "compress_chunks",
+    "codec_roundtrip",
 ]
 
 

@@ -1359,6 +1359,33 @@ def compress_chunks(spark, sf_dir):
 
 
 @register(
+    "codec_roundtrip",
+    f"""
+    WITH r AS ({_EV_1M_SQL}),
+    b AS (SELECT source, min(epoch_s) lo, max(epoch_s) hi FROM r GROUP BY 1),
+    grid AS (SELECT source, unnest(generate_series(lo, hi, 60)) AS epoch_s FROM b)
+    SELECT g.source, g.epoch_s,
+           round(coalesce(r.rate, 0.0), 6) AS rate
+    FROM grid g LEFT JOIN r ON g.source = r.source AND g.epoch_s = r.epoch_s
+    """,
+)
+def codec_roundtrip(spark, sf_dir):
+    """Gorilla XOR + delta-of-delta, END-TO-END with an exact oracle: the
+    zero-filled 1m grid is compressed into per-span blobs and decoded back
+    DISTRIBUTED (operators/compress.decompress_chunks) — the decoded points
+    must equal the oracle's gap-filled grid exactly, proving the codecs are
+    lossless through the whole Spark path, not just in unit tests."""
+    from .operators.compress import compress_rollup, decompress_chunks
+
+    roll = gapfill(_events_1m(spark, sf_dir), "1m", "zero")
+    chunks = compress_rollup(roll, "1m", value_col="rate")
+    pts = decompress_chunks(chunks)
+    return pts.select(
+        "source", "epoch_s", F.round("val", 6).cast("double").alias("rate")
+    )
+
+
+@register(
     "tier_cascade_1h",
     """
     SELECT event_type AS source,
