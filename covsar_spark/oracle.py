@@ -111,6 +111,33 @@ def eigen(roll: pd.DataFrame, tier: str, p: int = EIGEN_P, value_col: str = "tok
     )
 
 
+def closure_stats(
+    roll: pd.DataFrame, tier: str, max_epochs: int = 20, value_col: str = "token_count"
+) -> pd.DataFrame:
+    """Single-threaded golden for the closure-correction span stats: the
+    SAME pure kernel (`closure_correct.correct_span`) over pandas groups, so
+    Spark-vs-oracle comparison isolates the distributed plumbing (grouping,
+    bucketing, ordering, batching)."""
+    from .operators.closure_correct import correct_span
+    from .schemas import EIGEN_SPAN
+
+    span = EIGEN_SPAN[tier]
+    rows = []
+    d = roll.assign(span_s=(roll["epoch_s"] // span) * span)
+    for (src, sp), g in d.groupby(["source", "span_s"], sort=True):
+        g = g.sort_values("epoch_s", kind="mergesort")
+        res = correct_span(g[value_col].to_numpy(np.float64)[:max_epochs])
+        rows.append(
+            (src, sp, res["n_epochs"], res["r"], res["slope"], res["intercept"],
+             res["rmse"], res["drift_rms"], res["bias"], res["chi2_s"], res["pval"])
+        )
+    return pd.DataFrame(
+        rows,
+        columns=["source", "span_s", "n_epochs", "r", "slope", "intercept",
+                 "rmse", "drift_rms", "bias", "chi2_s", "pval"],
+    )
+
+
 def full_pipeline(cols: dict, policy: str = "zero") -> dict[str, dict[str, pd.DataFrame]]:
     """tokens columns -> per-tier {rollup, filled, eigen} golden outputs."""
     df = tokens_frame(cols)

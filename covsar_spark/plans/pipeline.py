@@ -37,7 +37,7 @@ def run_tiers(
     kernel_path: str = "tier",  # "tier" = single-shuffle sentinel kernel;
     # "fused" = relational gapfill + repartition-sorted eigen/codec kernel
 ) -> dict[str, dict[str, DataFrame]]:
-    """Returns per tier: {"rollup", "filled", "eigen"?, "chunks"?}."""
+    """Returns per tier: {"rollup", "filled", "eigen"?, "chunks"?, "closure"?}."""
     from ..schemas import HORIZON_S
 
     ts = with_event_time(tokens, horizon_s or HORIZON_S)

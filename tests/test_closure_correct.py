@@ -135,19 +135,12 @@ def _synthetic_rollup(spark, n_sources=6, epochs=240):
 
 
 def test_spark_matches_oracle_exact(spark):
+    from covsar_spark.oracle import closure_stats
+
     sdf, pdf = _synthetic_rollup(spark)
     k = closure_correct(sdf, "1m")  # span 3600 -> up to 60 epochs, capped 20
     got = span_stats(k).toPandas().sort_values(["source", "span_s"]).reset_index(drop=True)
-    rows = []
-    d = pdf.assign(span_s=(pdf["epoch_s"] // 3600) * 3600)
-    for (src, sp), g in d.groupby(["source", "span_s"], sort=True):
-        g = g.sort_values("epoch_s", kind="mergesort")
-        res = correct_span(g["token_count"].to_numpy(np.float64)[:20])
-        rows.append(
-            (src, sp, res["n_epochs"], res["r"], res["slope"], res["intercept"],
-             res["rmse"], res["drift_rms"], res["bias"], res["chi2_s"], res["pval"])
-        )
-    want = pd.DataFrame(rows, columns=list(got.columns))
+    want = closure_stats(pdf, "1m")[list(got.columns)]
     want = want.sort_values(["source", "span_s"]).reset_index(drop=True)
     assert len(got) == len(want)
     for c in got.columns:
