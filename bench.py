@@ -111,8 +111,12 @@ def run_flagship(spark, n_rows: int) -> tuple[float, int]:
     filled_all = reduce(lambda a, b: a.unionByName(b), [d["filled"] for d in tiers.values()])
     fused_all = reduce(lambda a, b: a.unionByName(b), [d["fused"] for d in tiers.values()])
     filled_all.write.format("noop").mode("overwrite").save()
-    total_points = filled_all.count()  # cached by now; cheap
     fused_all.write.format("noop").mode("overwrite").save()
+    # point count from the persisted kernel rows (one tiny agg) — a count()
+    # over the exploded dense table would re-pay the explode
+    total_points = int(
+        fused_all.select(F.sum("n_points").alias("p")).collect()[0]["p"]
+    )
     wall = time.time() - t0
     for d in tiers.values():
         for key in ("rollup", "filled", "fused"):
