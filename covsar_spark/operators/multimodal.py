@@ -2,15 +2,23 @@
 
 Images/audio/video ride as `binary` columns with a struct of metadata; the
 decode / feature-extract / resize / frame-sample steps are Pandas UDFs over
-`mapInPandas`. The actual media libs are NOT in this container, so the decode
-step is a deterministic fake behind `FAKE_DECODE` (clearly marked) — the
-Spark-side plumbing (schema, partitioning, UDF signature, Arrow batch shape)
-is real and tested.
+`mapInPandas`.
+
+Decode status per modality:
+- audio: REAL — WAV/PCM16 parsed with the stdlib `wave` module + numpy
+  frombuffer (no external libs needed).
+- image: REAL — binary PPM (P6) header + raw RGB parsing in numpy.
+- video: STUB — container demux/codec decode needs ffmpeg-class libs absent
+  from this image; `FAKE_DECODE` is a clearly-marked deterministic fake. The
+  Spark-side plumbing (schema, partitioning, UDF signature, Arrow batch
+  shape) is identical for all three and fully tested.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
+import wave
 
 import numpy as np
 import pandas as pd
@@ -40,9 +48,33 @@ MEDIA_SCHEMA = T.StructType(
 
 FEATURE_DIM = 16
 
+
+def decode_wav(payload: bytes) -> np.ndarray:
+    """REAL audio decode: WAV/PCM16 -> float32 samples in [-1, 1)."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        if w.getsampwidth() != 2:
+            raise ValueError("only PCM16 supported")
+        raw = w.readframes(w.getnframes())
+    return np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """REAL image decode: binary PPM (P6) -> float32 pixels in [0, 1],
+    flattened HxWx3."""
+    # header: b"P6\n<w> <h>\n255\n" then raw RGB bytes
+    parts = payload.split(b"\n", 3)
+    if parts[0] != b"P6" or len(parts) < 4:
+        raise ValueError("not a binary PPM")
+    w, h = (int(x) for x in parts[1].split())
+    maxval = int(parts[2])
+    pix = np.frombuffer(parts[3], dtype=np.uint8, count=w * h * 3)
+    return pix.astype(np.float32) / float(maxval)
+
+
 # ---------------------------------------------------------------------------
-# STUB: deterministic fake decode. A real deployment swaps this for
-# PIL/libsndfile/ffmpeg decoding; everything around it stays unchanged.
+# STUB: deterministic fake decode for VIDEO only (container/codec libs are
+# not in this image). A real deployment swaps this for ffmpeg decoding;
+# everything around it stays unchanged.
 # ---------------------------------------------------------------------------
 
 
@@ -53,21 +85,47 @@ def FAKE_DECODE(payload: bytes, kind: str) -> np.ndarray:
     return np.random.default_rng(seed).random(64, dtype=np.float32)
 
 
+def decode(payload: bytes, kind: str) -> np.ndarray:
+    if kind == "audio":
+        return decode_wav(payload)
+    if kind == "image":
+        return decode_ppm(payload)
+    return FAKE_DECODE(payload, kind)  # video: declared stub
+
+
+def _make_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes((np.clip(samples, -1, 1) * 32767).astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def _make_ppm(rng: np.random.Generator, w: int = 16, h: int = 12) -> bytes:
+    pix = rng.integers(0, 256, w * h * 3, dtype=np.uint8)
+    return b"P6\n%d %d\n255\n" % (w, h) + pix.tobytes()
+
+
 def synth_media(spark, n: int = 64, seed: int = 5) -> DataFrame:
-    """Deterministic synthetic media table for tests."""
+    """Deterministic synthetic media table: VALID wav + ppm payloads (the
+    real decoders parse them), pseudo-random bytes for video."""
     rng = np.random.default_rng(seed)
     rows = []
     kinds = ["image", "audio", "video"]
     for i in range(n):
         kind = kinds[i % 3]
-        payload = bytes(rng.integers(0, 256, 128, dtype=np.uint8))
-        meta = (
-            (64, 48, None, None)
-            if kind == "image"
-            else (None, None, 16000, None)
-            if kind == "audio"
-            else (64, 48, None, 30)
-        )
+        if kind == "image":
+            payload = _make_ppm(rng)
+            meta = (16, 12, None, None)
+        elif kind == "audio":
+            t = np.arange(256) / 16000.0
+            payload = _make_wav(np.sin(2 * np.pi * (200 + 10 * i) * t).astype(np.float32))
+            meta = (None, None, 16000, None)
+        else:
+            payload = bytes(rng.integers(0, 256, 128, dtype=np.uint8))
+            meta = (64, 48, None, 30)
         rows.append((f"m-{i:06d}", kind, payload, meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
@@ -77,14 +135,16 @@ def extract_features(media: DataFrame, dim: int = FEATURE_DIM) -> DataFrame:
 
     Output: (media_id, kind, feat array<float>, payload_sha string). The
     sha proves byte-exact payload pass-through across the Arrow boundary.
-    """
+    Decode is inherently per-item (as a real PIL/libsndfile decode would
+    be); the pooling vectorizes per batch."""
 
     def op(it):
         for pdf in it:
             feats, shas = [], []
             for payload, kind in zip(pdf["payload"], pdf["kind"]):
-                raw = FAKE_DECODE(bytes(payload), kind)
-                pooled = raw.reshape(dim, -1).mean(axis=1)  # "resize" / pool
+                raw = decode(bytes(payload), kind)
+                k = (len(raw) // dim) * dim
+                pooled = raw[:k].reshape(dim, -1).mean(axis=1) if k >= dim else np.resize(raw, dim)
                 feats.append(pooled.astype(np.float32))
                 shas.append(hashlib.sha256(bytes(payload)).hexdigest())
             yield pd.DataFrame(
@@ -106,7 +166,7 @@ def read_binary_dir(spark, path: str, pattern: str = "*.bin") -> DataFrame:
     Spark's built-in binaryFile source — one row per file with (path,
     modificationTime, length, content) — mapped onto MEDIA_SCHEMA. Kind is
     derived from the filename stem (`<id>.<kind>.bin`); metadata defaults
-    ride along for the decode stub."""
+    ride along for the decode step."""
     raw = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", pattern)

@@ -24,6 +24,36 @@ def test_streaming_rollup_matches_batch(spark, tmp_path):
         assert np.array_equal(merged[f"{c}_s"].to_numpy(), merged[f"{c}_b"].to_numpy()), c
 
 
+def test_real_decoders_roundtrip():
+    """WAV and PPM decoders are REAL (stdlib + numpy): encode -> decode
+    reproduces the samples/pixels exactly (up to PCM16 quantization)."""
+    import numpy as np
+
+    from covsar_spark.operators.multimodal import (
+        _make_ppm,
+        _make_wav,
+        decode_ppm,
+        decode_wav,
+    )
+
+    t = np.arange(512) / 16000.0
+    samples = (0.5 * np.sin(2 * np.pi * 440 * t)).astype(np.float32)
+    got = decode_wav(_make_wav(samples))
+    assert len(got) == 512
+    # PCM16 quantization: truncation (1 LSB) + the 32767-encode/32768-decode
+    # scale mismatch — bounded by 2 LSB
+    np.testing.assert_allclose(got, samples, rtol=0, atol=2.0 / 32767)
+
+    rng = np.random.default_rng(3)
+    ppm = _make_ppm(rng, w=8, h=4)
+    pix = decode_ppm(ppm)
+    assert pix.shape == (8 * 4 * 3,)
+    # byte-exact: the payload tail IS the pixel buffer
+    np.testing.assert_array_equal(
+        (pix * 255).astype(np.uint8), np.frombuffer(ppm.split(b"\n", 3)[3], np.uint8)
+    )
+
+
 def test_multimodal_plumbing(spark):
     from covsar_spark.operators.multimodal import (
         extract_features,
@@ -82,13 +112,23 @@ def test_binary_file_source_roundtrip(spark, tmp_path):
 
     import numpy as np
 
-    from covsar_spark.operators.multimodal import extract_features, read_binary_dir
+    from covsar_spark.operators.multimodal import (
+        _make_ppm,
+        _make_wav,
+        extract_features,
+        read_binary_dir,
+    )
 
     rng = np.random.default_rng(11)
     want = {}
     for i in range(6):
         kind = ["image", "audio", "video"][i % 3]
-        payload = bytes(rng.integers(0, 256, 256, dtype=np.uint8))
+        if kind == "image":
+            payload = _make_ppm(rng)
+        elif kind == "audio":
+            payload = _make_wav(np.sin(np.arange(128) / 7.0).astype(np.float32))
+        else:
+            payload = bytes(rng.integers(0, 256, 256, dtype=np.uint8))
         (tmp_path / f"m{i:03d}.{kind}.bin").write_bytes(payload)
         want[f"m{i:03d}"] = (kind, hashlib.sha256(payload).hexdigest())
     media = read_binary_dir(spark, str(tmp_path))
