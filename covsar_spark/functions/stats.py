@@ -6,7 +6,7 @@ vectorized numpy, no per-row Python).
 
 chi2.cdf(x, k) == P(k/2, x/2).
 
-Accuracy: |err| < 1e-12 over the tested domain (validated in
+Accuracy: |err| < 1e-11 over the tested domain (validated in
 tests/test_stats.py against the closed-form even-dof survival function
 1 - exp(-x/2) * sum_{i<k/2} (x/2)^i / i! and hand-checkable identities like
 chi2.cdf(2, 2) = 1 - e^-1).

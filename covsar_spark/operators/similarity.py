@@ -256,14 +256,18 @@ def near_dup_pairs(emb: DataFrame, threshold: float = 0.35, n_blocks: int = 8) -
     def op(it):
         for pdf in it:
             out_a, out_b, out_same = [], [], []
-            for _, row in pdf.iterrows():
-                diag = row["blk_a"] == row["blk_b"]
-                ia = np.array([x["vec_id"] for x in row["items_a"]], dtype=np.int64)
-                ib = np.array([x["vec_id"] for x in row["items_b"]], dtype=np.int64)
-                la = {int(x["vec_id"]): x["label"] for x in row["items_a"]}
-                lb = {int(x["vec_id"]): x["label"] for x in row["items_b"]}
-                A = np.stack([np.asarray(x["embedding"], np.float64) for x in row["items_a"]])
-                B = np.stack([np.asarray(x["embedding"], np.float64) for x in row["items_b"]])
+            # each "row" here is one BLOCK PAIR (two packed vector blocks),
+            # so this loop runs O(B^2 / tasks) times, never per vector
+            for blk_a, blk_b, items_a, items_b in zip(
+                pdf["blk_a"], pdf["blk_b"], pdf["items_a"], pdf["items_b"]
+            ):
+                diag = blk_a == blk_b
+                ia = np.array([x["vec_id"] for x in items_a], dtype=np.int64)
+                ib = np.array([x["vec_id"] for x in items_b], dtype=np.int64)
+                la = {int(x["vec_id"]): x["label"] for x in items_a}
+                lb = {int(x["vec_id"]): x["label"] for x in items_b}
+                A = np.stack([np.asarray(x["embedding"], np.float64) for x in items_a])
+                B = np.stack([np.asarray(x["embedding"], np.float64) for x in items_b])
                 A /= np.linalg.norm(A, axis=1, keepdims=True)
                 B /= np.linalg.norm(B, axis=1, keepdims=True)
                 sims = A @ B.T

@@ -70,7 +70,9 @@ def run_cascade_stream(
                 .parquet(tier_1m)
             )
             # (2) recompute ONLY the days this batch touched, from the full
-            # 1m tier, and overwrite exactly those 1h partitions
+            # 1m tier, and overwrite exactly those 1h partitions. The collect
+            # is a DISTINCT DAY list — bounded by the watermark horizon (a
+            # handful of strings per micro-batch), never row data.
             days = [r["day"] for r in b.select(_day().alias("day")).distinct().collect()]
             full_1m = sess.read.parquet(tier_1m).filter(_day().isin(days))
             (
