@@ -88,7 +88,8 @@ def run_level(cores: int, horizon_s: int, data: str) -> dict:
 
 def main():
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 16_000_000
-    repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    # best-of-2 by default: identical runs vary 2-3x under co-tenant load
+    repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 2
     horizon_days = int(sys.argv[3]) if len(sys.argv) > 3 else 112
     n_sources = int(sys.argv[4]) if len(sys.argv) > 4 else 128
     lo, hi = (
