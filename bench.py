@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "quality_score",
     "fingerprint",
     "vocab_topk",
+    "unigram_logprob",
     "token_packing",
     "ann_cosine_topk",
     "ann_ivf_topk",

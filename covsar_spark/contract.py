@@ -1259,6 +1259,29 @@ def vocab_topk_q(spark, sf_dir):
 
 
 @register(
+    "unigram_logprob",
+    f"""
+    WITH {_TOKENS_SQL},
+    t AS (SELECT doc_id, source, n_tok, unnest(tokens) AS token FROM tok),
+    f AS (SELECT token, count(*)::BIGINT AS n FROM t GROUP BY 1),
+    tot AS (SELECT sum(n)::BIGINT AS total FROM f),
+    p AS (SELECT token, n / (SELECT total FROM tot)::DOUBLE AS p FROM f)
+    SELECT t.doc_id, t.source, t.n_tok,
+           round(avg(-ln(p.p)), 6) AS mean_nll
+    FROM t JOIN p ON t.token = p.token
+    GROUP BY 1, 2, 3
+    """,
+)
+def unigram_logprob_q(spark, sf_dir):
+    """Perplexity-proxy quality filter: per-doc mean negative log unigram
+    probability from the corpus's own frequencies (the classic cheap LM
+    filter for training-data curation)."""
+    from .operators.tokens import unigram_logprob
+
+    return unigram_logprob(_tokens(spark, sf_dir))
+
+
+@register(
     "token_packing",
     f"""
     WITH {_TOKENS_SQL},

@@ -39,6 +39,26 @@ def vocab_topk(tokens: DataFrame, k: int = 20) -> DataFrame:
     )
 
 
+def unigram_logprob(tokens: DataFrame) -> DataFrame:
+    """Perplexity-proxy quality score: per-doc mean negative log unigram
+    probability, with probabilities from the corpus's own token frequencies
+    — the classic cheap LM filter for training-data curation. Two passes:
+    one global frequency aggregate (broadcast back — |vocab| rows), one
+    explode + join + per-doc mean. Output: (doc_id, source, n_tok,
+    mean_nll) — high mean_nll = rare-token-heavy document."""
+    tok = tokens.select("doc_id", "source", "n_tok", F.explode("tokens").alias("token"))
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    total = freq.agg(F.sum("n").alias("total"))
+    p = freq.crossJoin(F.broadcast(total)).select(
+        "token", (F.col("n") / F.col("total")).alias("p")
+    )
+    return (
+        tok.join(F.broadcast(p), "token")
+        .groupBy("doc_id", "source", "n_tok")
+        .agg(F.round(F.avg(-F.log("p")), 6).alias("mean_nll"))
+    )
+
+
 def pack_sequences(tokens: DataFrame, capacity: int = 2048) -> DataFrame:
     """Greedy sequence packing into fixed-capacity training bins:
     per source, docs in doc_id order are assigned bin = floor((cumsum(n_tok)
