@@ -38,9 +38,12 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    from covsar_spark.contract import QUERIES
+    # Priority order, not registration order: the driver verifies the first 50
+    # entries, so never-yet-verified and unique-signal oracle entries come
+    # first (see covsar_spark.contract.ordered_queries).
+    from covsar_spark.contract import ordered_queries
 
-    return dict(QUERIES)
+    return ordered_queries()
 
 
 def oracle_sql() -> dict[str, str]:

@@ -54,7 +54,13 @@ def compare(name: str, got: pd.DataFrame, exp: pd.DataFrame) -> list[str]:
     for c in g.columns:
         gv, ev = g[c].to_numpy(), e[c].to_numpy()
         if gv.dtype.kind == "f":
-            ok = (gv == ev) | (np.isnan(gv.astype(float)) & np.isnan(ev.astype(float)))
+            gf, ef = gv.astype(float), ev.astype(float)
+            # The driver compares value HASHES, which see the IEEE sign bit:
+            # -0.0 vs +0.0 must fail here too, even though -0.0 == +0.0.
+            ok = (
+                (gv == ev)
+                & (np.signbit(gf) == np.signbit(ef))
+            ) | (np.isnan(gf) & np.isnan(ef))
         else:
             ok = gv == ev
         if not np.asarray(ok).all():
