@@ -65,10 +65,17 @@ def range_join(
     )
     if how == "left":
         # points whose buckets matched but whose residual filter failed must
-        # still survive with NULL interval columns
-        unmatched = points.join(
-            matched.select(*points.columns).distinct(), points.columns, "left_anti"
-        ).select(
+        # still survive with NULL interval columns. The anti-join must be
+        # null-SAFE (<=>): with plain equality a matched point carrying a NULL
+        # in any column never equals itself, so it would be re-emitted as a
+        # spurious NULL-padded "unmatched" row.
+        mpts = matched.select(*points.columns).distinct().alias("_m")
+        p = points.alias("_p")
+        cond = None
+        for c in points.columns:
+            eq = F.col(f"_p.{c}").eqNullSafe(F.col(f"_m.{c}"))
+            cond = eq if cond is None else cond & eq
+        unmatched = p.join(mpts, cond, "left_anti").select(
             *points.columns,
             *[F.lit(None).cast(intervals.schema[c].dataType).alias(c) for c in icols],
         )

@@ -83,25 +83,32 @@ def jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.5) -> DataFr
 def jaccard_verified(docs: DataFrame, k: int = 3, threshold: float = 0.1) -> DataFrame:
     """The production-scale dedup path, composed: LSH band candidates ->
     exact n-gram Jaccard verification restricted to those pairs. The shingle
-    inverted-index join runs only over candidate docs (broadcast candidate
-    set), so the quadratic hot-shingle blowup of the all-pairs join never
-    happens; the output is exact Jaccard on the candidate set."""
+    inverted-index join runs only over candidate docs, so the quadratic
+    hot-shingle blowup of the all-pairs join never happens; the output is
+    exact Jaccard on the candidate set.
+
+    The candidate restriction is a plain shuffle equi-join on doc_a — NOT a
+    broadcast hint: on a duplicate-heavy corpus candidates grow quadratically
+    inside buckets and would blow the driver/executor broadcast limit. AQE
+    still auto-broadcasts when the candidate table genuinely fits."""
     cand = lsh_candidates(docs, k=k)
     sh = shingles(docs, k)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
-        a.join(F.broadcast(cand), "doc_a")
+        a.join(cand, "doc_a")
         .join(b, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
+    # sizes is O(n_docs) rows — linear, but too big to broadcast at corpus
+    # scale; shuffle equi-joins (AQE broadcasts when they genuinely fit).
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     j = (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
         .withColumn(
             "jaccard",
             F.round(F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6),

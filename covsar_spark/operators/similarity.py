@@ -222,7 +222,12 @@ def ivf_topk(
 _PAIR_SCHEMA = "id_a long, id_b long, same_label boolean"
 
 
-def near_dup_pairs(emb: DataFrame, threshold: float = 0.35, n_blocks: int = 8) -> DataFrame:
+def near_dup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.35,
+    n_blocks: int | None = None,
+    target_block_bytes: int = 64 << 20,
+) -> DataFrame:
     """All-pairs cosine near-duplicates via distributed block matmul.
 
     Vectors are hashed into ``n_blocks`` blocks; each block is packed into
@@ -232,10 +237,20 @@ def near_dup_pairs(emb: DataFrame, threshold: float = 0.35, n_blocks: int = 8) -
     blocks and runs one gemm, emitting only over-threshold (id_a < id_b)
     pairs. Every unordered vector pair lands in exactly one block-pair task.
 
-    Scale: per-task memory = 2 x block_size x dim doubles — pick n_blocks ~
-    corpus_bytes / target_task_bytes; the former implementation collected the
-    whole corpus to the driver (OOM at scale) and is gone.
+    Scale: per-task memory = 2 x block_size x dim doubles. ``n_blocks`` is
+    derived from the corpus by default — one cheap count+dim aggregate at
+    plan-build sizes each packed block at <= ``target_block_bytes`` (64 MB),
+    so a packed collect_list row never approaches Arrow's 2 GB row limit no
+    matter the corpus (a fixed B would). Blocking never changes the output,
+    only task granularity. Inherently O(n^2) work — this is the exact
+    verifier; `near_dup_lsh` is the sub-quadratic scale path.
     """
+    if n_blocks is None:
+        n, dim = emb.agg(
+            F.count(F.lit(1)), F.min(F.size(F.col("embedding")))
+        ).first()
+        corpus_bytes = int(n or 0) * int(dim or 0) * 8
+        n_blocks = max(1, -(-corpus_bytes // target_block_bytes))
     packed = (
         emb.select("vec_id", "embedding", "label", F.pmod(F.col("vec_id"), F.lit(n_blocks)).alias("blk"))
         .groupBy("blk")

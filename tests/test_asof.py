@@ -109,6 +109,37 @@ def test_range_join_matches_brute_force(spark):
     assert set(null_rows["pid"].astype(int)) == set(pts["pid"].astype(int)) - matched_pids
 
 
+def test_range_join_left_null_safe(spark):
+    """A MATCHED point row carrying a NULL column must not be re-emitted as a
+    NULL-padded 'unmatched' row: the anti-join recovering unmatched points
+    compares with <=> (plain equality never matches NULL to itself)."""
+    from covsar_spark.operators.asof import range_join
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.StringType()),
+            T.StructField("t", T.LongType()),
+            T.StructField("pid", T.LongType()),
+            T.StructField("note", T.StringType()),
+        ]
+    )
+    pts = spark.createDataFrame(
+        [("a", 10, 0, None), ("a", 9999, 1, None), ("a", 20, 2, "x")], schema
+    )
+    iv = spark.createDataFrame(
+        pd.DataFrame({"k": ["a"], "lo": np.array([0], np.int64),
+                      "hi": np.array([100], np.int64), "ivid": np.array([0], np.int64)})
+    )
+    got = range_join(pts, iv, on="k", t="t", lo="lo", hi="hi", bucket_s=50, how="left").toPandas()
+    # pid 0 (NULL note, matched) exactly once; pid 1 unmatched once; pid 2 once
+    assert len(got) == 3
+    counts = got["pid"].value_counts()
+    assert counts.to_dict() == {0: 1, 1: 1, 2: 1}
+    assert got[got["pid"] == 1]["ivid"].isna().all()
+    assert got[got["pid"] == 0]["ivid"].notna().all()
+
+
 def test_range_join_not_nested_loop(spark):
     from covsar_spark.operators.asof import range_join
 

@@ -98,6 +98,25 @@ def test_near_dup_pairs_no_driver_state(spark):
     assert "CollectLimit" not in plan
 
 
+def test_jaccard_verified_candidates_not_hint_broadcast(spark):
+    """The LSH candidate-pair table grows quadratically inside hot buckets on
+    a duplicate-heavy corpus, so jaccard_verified must NOT force-broadcast it
+    (or the O(n_docs) sizes table) with a hint — broadcast only when AQE
+    decides it fits. With the auto-broadcast threshold disabled, a hint-free
+    plan has zero BroadcastExchange nodes; a leftover F.broadcast() hint
+    would still show one."""
+    from covsar_spark.operators.dedup import jaccard_verified
+
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        plan = _plan(jaccard_verified(docs))
+        assert "BroadcastExchange" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+
+
 def test_minhash_single_shuffle_partial_agg(spark):
     """All 16 mins in one aggregate: exactly one exchange (doc_id), with
     map-side partial mins — the param cross-join shuffled rows x16."""

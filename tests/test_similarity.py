@@ -60,6 +60,19 @@ def test_near_dup_block_matmul_exact(emb_df):
     assert len(got) == len(got_set)
 
 
+def test_near_dup_auto_blocking_exact(emb_df):
+    """n_blocks auto-derived from corpus count x dim: forcing a tiny
+    target_block_bytes (one 32-dim vector = 256 B; 4 KiB target -> 16-row
+    blocks -> 25 blocks for 400 vectors) must leave the output identical —
+    blocking only changes task granularity, never the pair set."""
+    sdf, vecs, _ = emb_df
+    got = near_dup_pairs(sdf, threshold=0.5, target_block_bytes=4096).toPandas()
+    want = _brute_pairs(vecs, 0.5)
+    got_set = set(zip(got["id_a"].astype(int), got["id_b"].astype(int)))
+    assert got_set == want
+    assert len(got) == len(got_set)
+
+
 def test_lsh_topk_recall(emb_df):
     sdf, _, _ = emb_df
     nq, k = 20, 10
