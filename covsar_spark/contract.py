@@ -1372,6 +1372,26 @@ def eigen_1m(spark, sf_dir):
     )
 
 
+@register("eigen_mle_1m")
+def eigen_mle_1m(spark, sf_dir):
+    """MLE (EMI) phase-linking variant — the reference's third linker beside
+    EVD and NN (covsar/closure_inten.py:502-520 dispatch; covsar/pl/mle.py
+    delegates to the external greg.EMI, so the engine follows the published
+    EMI algorithm). Rows-only: the batched-inverse+eigh kernel has no
+    SQL-expressible oracle; pinned by NumPy goldens in
+    tests/test_eigen_kernel.py (planted sign-vector recovery, batch==single,
+    low-coherence superiority over EVD)."""
+    from .operators.eigen import eigen_rollup
+
+    roll = gapfill(_events_1m(spark, sf_dir), "1m", "zero")
+    e = eigen_rollup(roll, "1m", method="mle")
+    return e.select(
+        "source", "span_s", "n_epochs",
+        F.round("lam", 6).cast("double").alias("lam"),
+        F.round("tc", 6).cast("double").alias("tc"),
+    )
+
+
 @register("compress_chunks")
 def compress_chunks(spark, sf_dir):
     from .operators.compress import compress_rollup
@@ -1610,6 +1630,41 @@ def gapfill_linear_1m(spark, sf_dir):
     roll = _events_1m(spark, sf_dir)
     out = gapfill(roll, "1m", "linear")
     return out.select("source", "epoch_s", F.round("rate", 6).cast("double").alias("rate"), "filled")
+
+
+@register(
+    "lc_window_stats",
+    """
+    SELECT (user_id % 5)::BIGINT AS lc_class,
+           (floor(epoch(ts) / 600) * 600)::BIGINT AS win_s,
+           count(*)::BIGINT AS n_obs,
+           round(avg(value), 6) AS mean_v,
+           round(quantile_cont(value, 0.5), 6) AS median_v,
+           round(var_pop(value), 6) AS var_v
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def lc_window_stats(spark, sf_dir):
+    """A11 made explicit: landcover-class-conditional windowed statistics
+    (covsar/lc_filter.py:6-49 — per-pixel mean/median/variance restricted to
+    neighbors of the SAME landcover class, plus the matching count). The
+    graft: the categorical class conditions the aggregation window — one
+    shuffle on (class, window), map-side partial aggregation; median is the
+    exact interpolated percentile on both engines."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.pmod(F.col("user_id"), F.lit(5)).cast("long").alias("lc_class"),
+            (F.floor(F.unix_timestamp("ts") / 600) * 600).cast("long").alias("win_s"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.round(F.avg("value"), 6).alias("mean_v"),
+            F.round(F.percentile("value", F.lit(0.5)), 6).alias("median_v"),
+            F.round(F.var_pop("value"), 6).alias("var_v"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

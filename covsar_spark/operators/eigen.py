@@ -36,7 +36,9 @@ from ..schemas import EIGEN_P, EIGEN_SCHEMA, EIGEN_SPAN
 _GAUGE_EPS = 1e-12
 
 
-def lagcov_eig(x: np.ndarray, p: int = EIGEN_P) -> tuple[float, float, np.ndarray]:
+def lagcov_eig(
+    x: np.ndarray, p: int = EIGEN_P, method: str = "evd"
+) -> tuple[float, float, np.ndarray]:
     """Pure kernel: series -> (leading eigenvalue, temporal coherence, eigvec).
 
     ``x`` must be the canonical (time-ordered, gap-filled) float64 series.
@@ -44,6 +46,8 @@ def lagcov_eig(x: np.ndarray, p: int = EIGEN_P) -> tuple[float, float, np.ndarra
     Gauge: first element with |v_i| > eps is made positive (the real-valued
     analogue of the reference's first-element phase normalization).
     tc = lam / trace(G): fraction of series energy in the dominant mode.
+    ``method='mle'`` routes the same Gram through the EMI linker instead
+    (lam is then the BOTTOM eigenvalue of |C|^-1 ∘ C; tc unchanged).
     """
     x = np.asarray(x, dtype=np.float64)
     p_eff = min(p, len(x))
@@ -53,6 +57,8 @@ def lagcov_eig(x: np.ndarray, p: int = EIGEN_P) -> tuple[float, float, np.ndarra
     # trajectory (Hankel) matrix: X[l, t] = x[t + l]
     X = np.lib.stride_tricks.sliding_window_view(x, m)  # (p_eff, m)
     G = (X @ X.T) / m
+    if method == "mle":
+        return emi_link(G)
     w, V = np.linalg.eigh(G)
     lam = float(w[-1])
     v = V[:, -1].copy()
@@ -64,11 +70,12 @@ def lagcov_eig(x: np.ndarray, p: int = EIGEN_P) -> tuple[float, float, np.ndarra
     return lam, tc, v
 
 
-def lagcov_eig_batch(series: list[np.ndarray], p: int = EIGEN_P):
+def lagcov_eig_batch(series: list[np.ndarray], p: int = EIGEN_P, method: str = "evd"):
     """Batched variant: groups whose series share a length run through ONE
     strided-view + batched-gemm + batched-`eigh` call, fully vectorized
     including the gauge fix (covsar/library.py:121-128 pattern, but with no
-    per-span Python at all)."""
+    per-span Python at all). ``method='mle'`` adds one batched inverse +
+    eigh on the same Grams (EMI linker) — still zero per-span Python."""
     out = [None] * len(series)
     by_len: dict[int, list[int]] = {}
     for i, s in enumerate(series):
@@ -92,21 +99,99 @@ def lagcov_eig_batch(series: list[np.ndarray], p: int = EIGEN_P):
         )  # (B, p_eff, m)
         G = Xs @ Xs.transpose(0, 2, 1) / m
         w, V = np.linalg.eigh(G)  # batched
-        lam = w[:, -1]
-        vecs = V[:, :, -1].copy()
         tr = np.trace(G, axis1=1, axis2=2)  # same summation order as the
         # single-span oracle path (einsum orders differently -> tc bit-drift)
-        # vectorized gauge: flip rows whose first |.|>eps element is negative
-        big = np.abs(vecs) > _GAUGE_EPS
-        has = big.any(axis=1)
-        first = np.argmax(big, axis=1)
-        signs = vecs[np.arange(B), first]
-        flip = has & (signs < 0)
-        vecs[flip] *= -1.0
-        tc = np.where(tr > _GAUGE_EPS, lam / np.where(tr > _GAUGE_EPS, tr, 1.0), 0.0)
+        top = w[:, -1]
+        tc = np.where(tr > _GAUGE_EPS, top / np.where(tr > _GAUGE_EPS, tr, 1.0), 0.0)
+        if method == "mle":
+            lam, vecs = emi_link_batch(G)
+        else:
+            lam = top
+            vecs = V[:, :, -1].copy()
+            # vectorized gauge: flip rows whose first |.|>eps element is negative
+            big = np.abs(vecs) > _GAUGE_EPS
+            has = big.any(axis=1)
+            first = np.argmax(big, axis=1)
+            signs = vecs[np.arange(B), first]
+            flip = has & (signs < 0)
+            vecs[flip] *= -1.0
         for b, i in enumerate(idxs):
             out[i] = (float(lam[b]), float(tc[b]), vecs[b])
     return out
+
+
+def emi_link(G: np.ndarray, ridge: float = 0.0) -> tuple[float, float, np.ndarray]:
+    """MLE phase linking (EMI), real-valued graft — the reference's third
+    linker variant beside EVD and NN (dispatched at
+    covsar/closure_inten.py:502-520 as EIG|MLE|NN; covsar/pl/mle.py:1 is an
+    empty stub delegating to the external `greg.EMI` package, so this follows
+    the published algorithm: Ansari, De Zan & Parizzi, "Efficient Phase
+    Estimation for Interferogram Stacks", IEEE TGRS 2018 — public knowledge).
+
+    ``ridge`` shrinks the magnitude matrix toward identity before inversion
+    ((1-r)|C| + rI) — the usual plug-in-estimate regularization: pure EMI
+    (ridge=0) is MLE-optimal in the low-coherence regime it was built for,
+    but inv(|C|) amplifies estimation noise when coherence is high.
+
+    EMI estimates the linked phase as the eigenvector of the SMALLEST
+    eigenvalue of (|Gamma|^-1 ∘ Gamma), weighting each pair by its coherence
+    magnitude. Real graft: normalize the Gram to a correlation matrix C, take
+    A = |C| (coherence magnitudes), solve eigh(inv(A) * C) and keep the
+    bottom eigenpair. Quality = P / (lam_min * trace-normalized spread): we
+    report lam_min directly (1.0 at perfect coherence, growing with
+    inconsistency) plus the same tc energy metric as EVD for comparability.
+    Gauge matches `lagcov_eig`: first |v_i| > eps element made positive.
+    """
+    P = G.shape[0]
+    if P == 0:
+        return 0.0, 0.0, np.zeros(0)
+    d = np.sqrt(np.diag(G))
+    d = np.where(d > _GAUGE_EPS, d, 1.0)
+    C = G / np.outer(d, d)
+    A = np.abs(C)
+    if ridge:
+        A = (1.0 - ridge) * A + ridge * np.eye(P)
+    try:
+        Ainv = np.linalg.inv(A)
+    except np.linalg.LinAlgError:
+        Ainv = np.linalg.pinv(A)
+    w, V = np.linalg.eigh(Ainv * C)
+    lam = float(w[0])
+    v = V[:, 0].copy()
+    nz = np.nonzero(np.abs(v) > _GAUGE_EPS)[0]
+    if nz.size and v[nz[0]] < 0:
+        v = -v
+    wG, _ = np.linalg.eigh(G)
+    tr = float(np.trace(G))
+    tc = float(wG[-1]) / tr if tr > _GAUGE_EPS else 0.0
+    return lam, tc, v
+
+
+def emi_link_batch(G: np.ndarray, ridge: float = 0.0) -> tuple[np.ndarray, np.ndarray]:
+    """Batched EMI over a (B, P, P) Gram stack: one batched inverse + one
+    batched eigh — the same no-per-row-Python discipline as
+    `lagcov_eig_batch`. Returns (lam_min (B,), eigvecs (B, P)) with the
+    vectorized gauge fix."""
+    B, P, _ = G.shape
+    d = np.sqrt(np.einsum("bii->bi", G))
+    d = np.where(d > _GAUGE_EPS, d, 1.0)
+    C = G / (d[:, :, None] * d[:, None, :])
+    A = np.abs(C)
+    if ridge:
+        A = (1.0 - ridge) * A + ridge * np.eye(P)
+    try:
+        Ainv = np.linalg.inv(A)  # batched
+    except np.linalg.LinAlgError:
+        Ainv = np.stack([np.linalg.pinv(a) for a in A])
+    w, V = np.linalg.eigh(Ainv * C)
+    lam = w[:, 0]
+    vecs = V[:, :, 0].copy()
+    big = np.abs(vecs) > _GAUGE_EPS
+    has = big.any(axis=1)
+    first = np.argmax(big, axis=1)
+    signs = vecs[np.arange(B), first]
+    vecs[has & (signs < 0)] *= -1.0
+    return lam, vecs
 
 
 def eigen_rollup(
@@ -115,8 +200,16 @@ def eigen_rollup(
     p: int = EIGEN_P,
     value_col: str = "token_count",
     span_buckets: int = 32,
+    method: str = "evd",
 ) -> DataFrame:
-    """Per-(source, eigen-span) dominant eigenpair of the lag-cov Gram.
+    """Per-(source, eigen-span) linked eigenpair of the lag-cov Gram.
+
+    ``method`` mirrors the reference's EIG|MLE|NN dispatch
+    (covsar/closure_inten.py:502-520): 'evd' = dominant eigenvector of G
+    (covsar/library.py:113-146); 'mle' = EMI — bottom eigenvector of
+    |C|^-1 ∘ C (see `emi_link`); the NN form lives in
+    windowfns.phase_cumprod. Same grouped batch either way — MLE adds one
+    batched inverse + eigh, no extra shuffle.
 
     Input: a (preferably gap-filled) tier rollup. One shuffle, hashed on
     (source, span-bucket): grouping per individual span would mean one Arrow
@@ -124,6 +217,8 @@ def eigen_rollup(
     carries many spans of one source and the kernel runs ONE batched eigh per
     series length. Group size stays bounded: spans/bucket x (span/tier) rows.
     """
+    if method not in ("evd", "mle"):
+        raise ValueError(f"method must be 'evd' or 'mle', got {method!r}")
     span = EIGEN_SPAN[tier]
     with_span = (
         rollup.withColumn("span_s", (F.floor(F.col("epoch_s") / span) * span).cast("long"))
@@ -139,7 +234,7 @@ def eigen_rollup(
             g = g.sort_values("epoch_s", kind="mergesort")
             keys.append((src, sp, len(g)))
             series.append(g["val"].to_numpy(np.float64))
-        res = lagcov_eig_batch(series, p)
+        res = lagcov_eig_batch(series, p, method)
         return pd.DataFrame(
             {
                 "source": [k[0] for k in keys],

@@ -22,7 +22,8 @@ import shutil
 import time
 from collections.abc import Callable, Iterable
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
+from pyspark.sql import functions as F
 
 
 class CheckpointManifest:
@@ -75,8 +76,11 @@ def run_resumable(
         tmp = os.path.join(self_dir := os.path.dirname(final), f".tmp-{os.path.basename(final)}")
         if os.path.exists(tmp):
             shutil.rmtree(tmp)
-        df.write.mode("overwrite").parquet(tmp)
-        n_rows = df.sparkSession.read.parquet(tmp).count()
+        # observe() counts during the write itself — one pass, not a
+        # write-then-re-read (which doubled I/O on the resume path)
+        obs = Observation()
+        df.observe(obs, F.count(F.lit(1)).alias("n_rows")).write.mode("overwrite").parquet(tmp)
+        n_rows = int(obs.get["n_rows"])
         if os.path.exists(final):
             shutil.rmtree(final)
         os.rename(tmp, final)

@@ -88,3 +88,155 @@ def test_eigen_rollup_matches_oracle(spark, tiny_cols):
     assert np.array_equal(got["tc"].to_numpy(), exp["tc"].to_numpy())
     for a, b in zip(got["eig"], exp["eig"]):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+# ---------------------------------------------------------------------------
+# MLE (EMI) linker — the reference's third phase-linking variant
+# (covsar/closure_inten.py:502-520 EIG|MLE|NN dispatch)
+# ---------------------------------------------------------------------------
+
+
+def _planted_coherence(P, s, decay, noise, rng):
+    """C = (s s^T) ∘ A + symmetric noise, unit diagonal — the planted
+    sign-vector analogue of Gamma = Theta |Gamma| Theta^H."""
+    idx = np.arange(P)
+    A = np.exp(-np.abs(idx[:, None] - idx[None, :]) / decay)
+    C = A * np.outer(s, s)
+    if noise:
+        E = rng.normal(0, noise, (P, P))
+        C = C + (E + E.T) / 2
+        np.fill_diagonal(C, 1.0)
+    return C
+
+
+def test_emi_noise_free_exact_recovery():
+    """Model-exact case: C = Theta A Theta with Theta=diag(s). Then
+    |C|^-1 ∘ C = Theta (A^-1 ∘ A) Theta, whose bottom eigenpair is
+    (1, s/sqrt(P)) — EMI recovers the planted sign vector exactly."""
+    from covsar_spark.operators.eigen import emi_link
+
+    rng = np.random.default_rng(7)
+    for P in (6, 12, 20):
+        s = np.where(rng.random(P) < 0.5, -1.0, 1.0)
+        s[0] = 1.0  # gauge: emi_link makes the first nonzero element positive
+        C = _planted_coherence(P, s, decay=3.0, noise=0.0, rng=rng)
+        lam, tc, v = emi_link(C)
+        assert abs(lam - 1.0) < 1e-9
+        assert np.allclose(v, s / np.sqrt(P), atol=1e-9)
+
+
+def test_emi_beats_evd_at_low_coherence():
+    """The reference's motivation for the MLE linker: at low coherence
+    (fast-decaying |Gamma|) the coherence-weighted EMI estimate recovers the
+    planted signs more reliably than the plain dominant eigenvector."""
+    from covsar_spark.operators.eigen import emi_link
+
+    for noise in (0.05, 0.08):
+        rng = np.random.default_rng(42)
+        P, trials = 24, 40
+        emi_err = evd_err = 0
+        for _ in range(trials):
+            s = np.where(rng.random(P) < 0.5, -1.0, 1.0)
+            C = _planted_coherence(P, s, decay=1.0, noise=noise, rng=rng)
+            _, _, v_emi = emi_link(C)
+            w, V = np.linalg.eigh(C)
+            v_evd = V[:, -1]
+            for v, acc in ((v_emi, "emi"), (v_evd, "evd")):
+                sg = np.sign(v)
+                sg[sg == 0] = 1.0
+                err = min(int((sg != s).sum()), int((-sg != s).sum()))
+                if acc == "emi":
+                    emi_err += err
+                else:
+                    evd_err += err
+        assert emi_err < evd_err, f"noise={noise}: EMI {emi_err} vs EVD {evd_err}"
+
+
+def test_emi_ridge_extends_robust_regime():
+    """Shrinkage toward identity keeps EMI competitive when the plug-in |C|
+    estimate is noisy at moderate coherence — where pure inv(|C|) amplifies
+    noise (measured: ridge 0.3 cuts sign errors ~3x at decay 1.5/noise 0.2)."""
+    from covsar_spark.operators.eigen import emi_link
+
+    rng = np.random.default_rng(42)
+    P, trials = 24, 40
+    plain = ridged = 0
+    for _ in range(trials):
+        s = np.where(rng.random(P) < 0.5, -1.0, 1.0)
+        C = _planted_coherence(P, s, decay=1.5, noise=0.2, rng=rng)
+        for r, acc in ((0.0, "plain"), (0.3, "ridged")):
+            _, _, v = emi_link(C, ridge=r)
+            sg = np.sign(v)
+            sg[sg == 0] = 1.0
+            err = min(int((sg != s).sum()), int((-sg != s).sum()))
+            if acc == "plain":
+                plain += err
+            else:
+                ridged += err
+    assert ridged < plain, f"ridged {ridged} vs plain {plain}"
+
+
+def test_emi_batch_equals_single():
+    rng = np.random.default_rng(3)
+    from covsar_spark.operators.eigen import emi_link, emi_link_batch
+
+    Gs = []
+    for _ in range(8):
+        X = rng.normal(0, 1, (10, 40))
+        Gs.append(X @ X.T / 40)
+    G = np.stack(Gs)
+    lam_b, v_b = emi_link_batch(G)
+    for i in range(8):
+        lam, _, v = emi_link(G[i])
+        assert abs(lam - lam_b[i]) < 1e-9
+        assert np.allclose(v, v_b[i], atol=1e-9)
+
+
+def test_lagcov_mle_single_vs_batch():
+    rng = np.random.default_rng(11)
+    series = [rng.integers(0, 1000, n).astype(float) for n in (60, 60, 24, 7)]
+    batch = lagcov_eig_batch(series, method="mle")
+    for s, (blam, btc, bv) in zip(series, batch):
+        lam, tc, v = lagcov_eig(s, method="mle")
+        assert abs(lam - blam) < 1e-9 and abs(tc - btc) < 1e-9
+        assert np.allclose(v, bv, atol=1e-9)
+
+
+def test_eigen_rollup_mle_matches_single(spark, tiny_cols):
+    """Spark plumbing for method='mle': grouped-batch output equals the pure
+    single-series kernel on identically ordered, gap-filled series."""
+    import pandas as pd
+
+    df = with_event_time(cols_to_spark(spark, tiny_cols))
+    filled = gapfill(rollup_tokens(df, "1m"), "1m", "zero")
+    got = eigen_rollup(filled, "1m", method="mle").toPandas()
+    base = filled.toPandas().sort_values(["source", "epoch_s"])
+    from covsar_spark.schemas import EIGEN_SPAN
+
+    span = EIGEN_SPAN["1m"]
+    base["span_s"] = (base["epoch_s"] // span) * span
+    assert len(got) > 0
+    for row in got.itertuples():
+        g = base[(base["source"] == row.source) & (base["span_s"] == row.span_s)]
+        x = g.sort_values("epoch_s")["token_count"].to_numpy(np.float64)
+        lam, tc, v = lagcov_eig(x, method="mle")
+        assert abs(lam - row.lam) < 1e-9
+        assert abs(tc - row.tc) < 1e-9
+        # the bottom eigenvalue can be degenerate (periodic series -> singular
+        # |C|), making the eigvec non-unique across LAPACK paths; the plumbing
+        # check is the eigen-RESIDUAL of the emitted vector against the
+        # locally rebuilt EMI matrix, which any valid eigenvector satisfies
+        p_eff = min(8, len(x))
+        m = len(x) - p_eff + 1
+        X = np.lib.stride_tricks.sliding_window_view(x, m)
+        G = X @ X.T / m
+        d = np.sqrt(np.diag(G))
+        d = np.where(d > 1e-12, d, 1.0)
+        C = G / np.outer(d, d)
+        A = np.abs(C)
+        ve = np.asarray(row.eig, np.float64)
+        if np.linalg.cond(A) < 1e8:  # singular |C| -> eigvec ill-defined
+            M = np.linalg.inv(A) * C
+            resid = np.linalg.norm(M @ ve - row.lam * ve)
+            assert resid <= 1e-6 * max(1.0, np.linalg.norm(M)), resid
+        assert abs(np.linalg.norm(ve) - 1.0) < 1e-9
