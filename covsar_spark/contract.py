@@ -1633,6 +1633,39 @@ def gapfill_linear_1m(spark, sf_dir):
 
 
 @register(
+    "gapfill_cross_1m",
+    f"""
+    WITH r AS ({_EV_1M_SQL}),
+    b AS (SELECT source, min(epoch_s) lo, max(epoch_s) hi FROM r GROUP BY 1),
+    grid AS (SELECT source, unnest(generate_series(lo, hi, 60)) AS epoch_s FROM b),
+    em AS (SELECT epoch_s, avg(rate) AS _em FROM r GROUP BY 1),
+    sm AS (SELECT source, avg(rate) AS _sm FROM r GROUP BY 1),
+    gmv AS (SELECT avg(rate) AS _gm FROM r)
+    SELECT g.source, g.epoch_s,
+           round(CASE WHEN r.rate IS NOT NULL THEN r.rate
+                 ELSE coalesce(em._em * sm._sm / nullif(gmv._gm, 0.0), sm._sm, 0.0)
+                 END, 6) AS rate,
+           (r.rate IS NULL) AS filled
+    FROM grid g
+    LEFT JOIN r  ON g.source = r.source AND g.epoch_s = r.epoch_s
+    LEFT JOIN em ON g.epoch_s = em.epoch_s
+    LEFT JOIN sm ON g.source = sm.source
+    CROSS JOIN gmv
+    """,
+)
+def gapfill_cross_1m(spark, sf_dir):
+    """Cross-series gap-fill — the 2-D spatial `griddata` analogue
+    (covsar/interpolate_phase.py:11-76): a missing (source, epoch) slot is
+    estimated from OTHER sources observed at that epoch via the
+    multiplicative two-way model epoch_mean x source_mean / global_mean."""
+    roll = _events_1m(spark, sf_dir)
+    out = gapfill(roll, "1m", "cross")
+    return out.select(
+        "source", "epoch_s", F.round("rate", 6).cast("double").alias("rate"), "filled"
+    )
+
+
+@register(
     "lc_window_stats",
     """
     SELECT (user_id % 5)::BIGINT AS lc_class,

@@ -8,6 +8,11 @@ Reference analogue: `griddata` interpolation over observed grid nodes
 - ``zero``    — counts of nothing are zero (token_count=0, rate=0)
 - ``ffill``   — forward-fill rate from the last observed epoch
 - ``linear``  — linear interpolation of rate between lag/lead observed epochs
+- ``cross``   — fill from OTHER sources observed at the same epoch via a
+  multiplicative two-way model (rate ~ source_effect x epoch_effect): the
+  cross-series analogue of the reference's 2-D spatial `griddata` fill
+  (covsar/interpolate_phase.py:11-76 interpolates a pixel from neighbors in
+  an orthogonal dimension; here the orthogonal dimension is the source axis)
 
 Every filled row carries ``filled=true`` lineage.
 
@@ -119,6 +124,34 @@ def gapfill(rollup: DataFrame, tier: str, policy: str = "zero") -> DataFrame:
             .when(prev.isNotNull(), prev["rate"])
             .when(nxt.isNotNull(), nxt["rate"])
             .otherwise(F.lit(0.0)),
+        )
+
+    if policy == "cross":
+        # two-way multiplicative fill: rate_hat(source, epoch) =
+        # epoch_mean * source_mean / global_mean over OBSERVED rows only.
+        # Three aggregates of the observed rollup (per-epoch, per-source,
+        # global); the per-epoch table joins the grid on epoch_s, the
+        # per-source one on source (AQE broadcasts either when it fits — no
+        # forced hint, source cardinality is corpus-dependent). Epochs no
+        # source observed fall back to the source mean.
+        obs = rollup.select("source", "epoch_s", "rate")
+        by_epoch = obs.groupBy("epoch_s").agg(F.avg("rate").alias("_em"))
+        by_source = obs.groupBy("source").agg(F.avg("rate").alias("_sm"))
+        gm = obs.agg(F.avg("rate").alias("_gm"))
+        est = (
+            F.col("_em") * F.col("_sm") / F.nullif(F.col("_gm"), F.lit(0.0))
+        )
+        return (
+            base.join(by_epoch, "epoch_s", "left")
+            .join(by_source, "source", "left")
+            .crossJoin(F.broadcast(gm))
+            .withColumn(
+                "rate",
+                F.when(~F.col("filled"), F.col("rate")).otherwise(
+                    F.coalesce(est, F.col("_sm"), F.lit(0.0))
+                ),
+            )
+            .drop("_em", "_sm", "_gm")
         )
 
     raise ValueError(f"unknown gap-fill policy: {policy}")

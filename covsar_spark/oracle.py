@@ -72,6 +72,10 @@ def cascade(finer: pd.DataFrame, to_tier: str) -> pd.DataFrame:
 
 def gapfill(roll: pd.DataFrame, tier: str, policy: str = "zero") -> pd.DataFrame:
     tier_s = TIERS[tier]
+    # cross policy: two-way multiplicative stats over OBSERVED rows
+    em = roll.groupby("epoch_s")["rate"].mean()
+    sm = roll.groupby("source")["rate"].mean()
+    gm = float(roll["rate"].mean()) if len(roll) else 0.0
     pieces = []
     for src, g in roll.groupby("source", sort=True):
         lo, hi = g["epoch_s"].min(), g["epoch_s"].max()
@@ -89,6 +93,10 @@ def gapfill(roll: pd.DataFrame, tier: str, policy: str = "zero") -> pd.DataFrame
             obs = m["rate"].copy()
             interp = obs.interpolate(method="index", limit_direction="both")
             m["rate"] = interp.fillna(0.0)
+        elif policy == "cross":
+            est = m["epoch_s"].map(em) * sm[src] / gm if gm != 0.0 else pd.Series(np.nan, index=m.index)
+            est = est.fillna(sm[src] if not np.isnan(sm[src]) else 0.0)
+            m["rate"] = m["rate"].where(~m["filled"], est).fillna(0.0)
         else:
             raise ValueError(policy)
         pieces.append(m)

@@ -13,7 +13,7 @@ from covsar_spark.operators.rollup import rollup_tokens, with_event_time
 from .conftest import assert_frames_equal, cols_to_spark
 
 
-@pytest.mark.parametrize("policy", ["zero", "ffill", "linear"])
+@pytest.mark.parametrize("policy", ["zero", "ffill", "linear", "cross"])
 def test_gapfill_policy_matches_oracle(spark, tiny_gappy_cols, policy):
     df = with_event_time(cols_to_spark(spark, tiny_gappy_cols))
     roll = rollup_tokens(df, "1m")
