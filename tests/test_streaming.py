@@ -163,3 +163,25 @@ def test_stateful_totals_match_batch(spark, tmp_path):
         assert int(r["total_tokens"]) == int(batch.loc[r["source"], "t"])
         assert int(r["total_docs"]) == int(batch.loc[r["source"], "d"])
     assert (out.groupby("source").size() >= 1).all()
+
+
+def test_streaming_dedup_matches_batch(spark, tmp_path):
+    """Streaming exact dedup (dropDuplicatesWithinWatermark on the content
+    hash) must emit exactly one row per distinct content, and the surviving
+    hash set must equal the batch exact_dedup's — the continuous form of
+    operators/dedup.exact_dedup."""
+    from covsar_spark.operators.dedup import exact_dedup
+    from covsar_spark.streaming.dedup_stream import run_dedup_stream_to_memory
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    path = str(tmp_path / "docs")
+    # 3 files so the stream processes multiple micro-batches; duplicates in
+    # the fixture span batches
+    docs.repartition(3).write.parquet(path)
+
+    got = run_dedup_stream_to_memory(spark, path, name="t_dedup_stream").toPandas()
+    batch = exact_dedup(spark.read.parquet(path)).toPandas()
+
+    assert len(got) == len(batch), (len(got), len(batch))
+    assert got["h"].is_unique
+    assert set(got["h"]) == set(batch["h"])
