@@ -1209,6 +1209,34 @@ def fingerprint(spark, sf_dir):
     return text_ops.fingerprint(_read(spark, sf_dir, "documents"))
 
 
+@register(
+    "repetition_stats",
+    rf"""
+    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
+    i2 AS (SELECT doc_id, words,
+                  unnest(generate_series(1, greatest(len(words) - 1, 0))) AS i FROM w),
+    g2 AS (SELECT doc_id, words[i] || ' ' || words[i+1] AS g FROM i2),
+    c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+    s2 AS (SELECT doc_id, sum(c) AS n2, max(c) AS top2 FROM c2 GROUP BY 1),
+    i3 AS (SELECT doc_id, words,
+                  unnest(generate_series(1, greatest(len(words) - 2, 0))) AS i FROM w),
+    g3 AS (SELECT doc_id, words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS g FROM i3),
+    c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+    s3 AS (SELECT doc_id, sum(c) AS n3,
+                  sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup3 FROM c3 GROUP BY 1)
+    SELECT s2.doc_id, s2.n2::BIGINT AS n_2grams,
+           round(s2.top2 / s2.n2, 6) AS top2_frac,
+           round(coalesce(s3.dup3 / nullif(s3.n3, 0), 0.0), 6) AS dup3_frac
+    FROM s2 LEFT JOIN s3 ON s2.doc_id = s3.doc_id
+    """,
+)
+def repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality signals (top-2-gram fraction,
+    duplicate-3-gram occurrence fraction) — boilerplate/spam flags for the
+    training-data filter."""
+    return text_ops.repetition_stats(_read(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------------------
 # Token-domain ops on the derived training-sequence table
 # ---------------------------------------------------------------------------
@@ -1731,6 +1759,10 @@ DRIVER_PRIORITY = [
     "running_product",
     "ann_lsh_topk",          # rows-only, but failed r1 and never got a driver row
     "multimodal_features",   # rows-only, but failed r1 and never got a driver row
+    # new round-3 oracle entries — no driver row yet
+    "gapfill_cross_1m",
+    "lc_window_stats",
+    "repetition_stats",
 ]
 
 # Oracle-bearing entries that are weaker variants of an in-cap sibling:
@@ -1739,7 +1771,9 @@ DRIVER_PRIORITY = [
 # tier_cascade_1h), gapfill_ffill_1m (J7, by gapfill_linear_1m; zero-policy
 # P6 stays via gapfill_zero_1m), json_extract (scalar surface, by
 # interferogram's math/complex path), jaccard_pairs (bounded baseline of
-# jaccard_verified), embedding_norms (array fold, by ann_cosine_topk).
+# jaccard_verified), embedding_norms (array fold, by ann_cosine_topk),
+# quality_score (text-quality fractions, by word_stats + lang_id +
+# repetition_stats).
 DRIVER_DEMOTED = [
     "running_sum",
     "lag_diff",
@@ -1748,6 +1782,7 @@ DRIVER_DEMOTED = [
     "json_extract",
     "jaccard_pairs",
     "embedding_norms",
+    "quality_score",
 ]
 
 

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .text import md5_int40, md5_int60, words_col
+from .text import md5_int40, md5_int60, ngrams_col, words_col
 
 # MinHash parameters (universal hashing over a Mersenne prime; 31-bit prime +
 # 40-bit shingle hashes keep a*h+b far below int64 overflow).
@@ -38,13 +38,9 @@ def minhash_params(n_hashes: int = N_HASHES) -> list[tuple[int, int]]:
 
 def shingles(docs: DataFrame, k: int = 3) -> DataFrame:
     """Distinct word k-shingles per doc: (doc_id, shingle)."""
-    w = words_col()
-    n_sh = F.greatest(F.size(w) - k + 1, F.lit(0))
-    parts = [F.slice(w, i + 1, n_sh) for i in range(k)]
-    sh = parts[0]
-    for p in parts[1:]:
-        sh = F.zip_with(sh, p, lambda a, b: F.concat(a, F.lit(" "), b))
-    return docs.select("doc_id", F.explode(F.array_distinct(sh)).alias("shingle"))
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(ngrams_col(k))).alias("shingle")
+    )
 
 
 def exact_dedup(docs: DataFrame) -> DataFrame:

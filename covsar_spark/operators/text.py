@@ -101,3 +101,46 @@ def fingerprint(docs: DataFrame) -> DataFrame:
         exploded.groupBy("doc_id")
         .agg(F.expr("bit_xor(cast(conv(substring(md5(bg), 1, 15), 16, 10) as bigint))").alias("fp"))
     )
+
+
+def ngrams_col(n: int, text_col: str = "text") -> F.Column:
+    """Word n-grams as an array column (JVM-side zip_with slices — the same
+    construction dedup.shingles uses, without the distinct)."""
+    w = words_col(text_col)
+    n_g = F.greatest(F.size(w) - n + 1, F.lit(0))
+    parts = [F.slice(w, i + 1, n_g) for i in range(n)]
+    g = parts[0]
+    for p in parts[1:]:
+        g = F.zip_with(g, p, lambda a, b: F.concat(a, F.lit(" "), b))
+    return g
+
+
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition signals (public rules; Rae et al. 2021):
+    per-doc fraction of all 2-grams occupied by the MOST FREQUENT 2-gram,
+    and fraction of 3-gram occurrences that are duplicates (appear >1 time).
+    High values flag boilerplate/spammy documents for the training-data
+    filter. Two explode+agg passes, both partial-aggregated map-side — the
+    same scan shape as vocab_topk, linear at corpus scale."""
+    g2 = docs.select("doc_id", F.explode(ngrams_col(2)).alias("g"))
+    c2 = g2.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    s2 = c2.groupBy("doc_id").agg(
+        F.sum("c").alias("n_2grams"), F.max("c").alias("top2")
+    )
+    g3 = docs.select("doc_id", F.explode(ngrams_col(3)).alias("g"))
+    c3 = g3.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    s3 = c3.groupBy("doc_id").agg(
+        F.sum("c").alias("n_3grams"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("dup3"),
+    )
+    return (
+        s2.join(s3, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_2grams").cast("long").alias("n_2grams"),
+            F.round(F.col("top2") / F.col("n_2grams"), 6).alias("top2_frac"),
+            F.round(
+                F.coalesce(F.col("dup3") / F.nullif(F.col("n_3grams"), F.lit(0)), F.lit(0.0)), 6
+            ).alias("dup3_frac"),
+        )
+    )
