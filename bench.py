@@ -76,6 +76,10 @@ BENCH_QUERIES = [
     "near_dup_cosine",
     "high_pass_ratio",
     "gapfill_linear_1m",
+    "gapfill_cross_1m",
+    "lc_window_stats",
+    "repetition_stats",
+    "eigen_mle_1m",
     "eigen_1m",
     "compress_chunks",
     "codec_roundtrip",

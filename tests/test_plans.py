@@ -117,6 +117,34 @@ def test_jaccard_verified_candidates_not_hint_broadcast(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
 
 
+def test_gapfill_cross_no_nested_loop(spark):
+    """The cross-series fill joins grid<-per-epoch and grid<-per-source stats
+    on equi-keys plus one single-row broadcast cross join — never a
+    NestedLoopJoin over data-sized tables."""
+    from covsar_spark.contract import QUERIES
+
+    plan = _plan(QUERIES["gapfill_cross_1m"](spark, "/root/testdata/sf0.001"))
+    # the only nested-loop allowed is the 1-row global-mean broadcast
+    assert plan.count("NestedLoopJoin") <= 1
+
+
+def test_repetition_stats_partial_agg(spark):
+    """Both explode+count passes must partial-aggregate map-side."""
+    from covsar_spark.contract import QUERIES
+
+    plan = _plan(QUERIES["repetition_stats"](spark, "/root/testdata/sf0.001"))
+    assert "partial_count" in plan or "partial_" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_lc_window_stats_single_aggregate(spark):
+    from covsar_spark.contract import QUERIES
+
+    plan = _plan(QUERIES["lc_window_stats"](spark, "/root/testdata/sf0.001"))
+    assert "partial_" in plan
+    assert "Join" not in plan  # one scan, one agg — no join anywhere
+
+
 def test_minhash_single_shuffle_partial_agg(spark):
     """All 16 mins in one aggregate: exactly one exchange (doc_id), with
     map-side partial mins — the param cross-join shuffled rows x16."""
