@@ -149,3 +149,31 @@ def test_chi2_cdf_shape(x, k):
     # monotone in x, anti-monotone in dof
     assert float(chi2_cdf(x * 1.5, k)) >= c - 1e-12
     assert float(chi2_cdf(x, k + 2)) <= c + 1e-12
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(min_value=2, max_value=10),
+    st.integers(min_value=0, max_value=2**31),
+)
+def test_emi_invariants(p, seed):
+    """EMI linker invariants on arbitrary PSD Grams: unit-norm eigenvector,
+    gauge-positive first significant element, lam_min real and ~>= its
+    theoretical floor 0 for PSD-weighted forms, and EXACT bottom-eigenpair
+    residual of |C|^-1 ∘ C."""
+    from covsar_spark.operators.eigen import emi_link
+
+    rng = np.random.default_rng(seed)
+    X = rng.normal(0, 1, (p, 4 * p))
+    G = X @ X.T / (4 * p)
+    lam, tc, v = emi_link(G)
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-9
+    nz = np.nonzero(np.abs(v) > 1e-12)[0]
+    if nz.size:
+        assert v[nz[0]] > 0
+    assert 0.0 <= tc <= 1.0 + 1e-9
+    d = np.sqrt(np.diag(G))
+    C = G / np.outer(d, d)
+    M = np.linalg.inv(np.abs(C)) * C
+    w = np.linalg.eigvalsh(M)
+    assert abs(lam - w[0]) < 1e-6 * max(1.0, abs(w[0]))
