@@ -79,6 +79,7 @@ BENCH_QUERIES = [
     "gapfill_cross_1m",
     "lc_window_stats",
     "repetition_stats",
+    "tfidf_topterms",
     "eigen_mle_1m",
     "eigen_1m",
     "compress_chunks",

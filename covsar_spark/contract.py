@@ -1237,6 +1237,31 @@ def repetition_stats(spark, sf_dir):
     return text_ops.repetition_stats(_read(spark, sf_dir, "documents"))
 
 
+@register(
+    "tfidf_topterms",
+    rf"""
+    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
+    t AS (SELECT doc_id, unnest(words) AS term FROM w),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+    dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+             round(tf.tf * (ln((n.n_docs + 1.0) / (dfq.df + 1.0)) + 1.0), 4) AS score,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY tf.tf DESC, dfq.df ASC, tf.term ASC) AS rank
+      FROM tf JOIN dfq USING (term) CROSS JOIN n)
+    SELECT doc_id, rank::INT AS rank, term, tf::BIGINT AS tf, df::BIGINT AS df, score
+    FROM scored WHERE rank <= 3
+    """,
+)
+def tfidf_topterms(spark, sf_dir):
+    """Per-doc top-3 TF-IDF terms (keyword extraction). Integer-keyed
+    ranking (tf desc, df asc, term asc) keeps ordering engine-exact; the
+    float score is reported, not ranked on."""
+    return text_ops.tfidf_topterms(_read(spark, sf_dir, "documents"), k=3)
+
+
 # ---------------------------------------------------------------------------
 # Token-domain ops on the derived training-sequence table
 # ---------------------------------------------------------------------------
@@ -1763,6 +1788,7 @@ DRIVER_PRIORITY = [
     "gapfill_cross_1m",
     "lc_window_stats",
     "repetition_stats",
+    "tfidf_topterms",
 ]
 
 # Oracle-bearing entries that are weaker variants of an in-cap sibling:
@@ -1773,8 +1799,10 @@ DRIVER_PRIORITY = [
 # interferogram's math/complex path), jaccard_pairs (bounded baseline of
 # jaccard_verified), embedding_norms (array fold, by ann_cosine_topk),
 # quality_score (text-quality fractions, by word_stats + lang_id +
-# repetition_stats).
+# repetition_stats), topk_per_group (top-k-per-group window, by
+# tfidf_topterms which ranks with the same row_number pattern).
 DRIVER_DEMOTED = [
+    "topk_per_group",
     "running_sum",
     "lag_diff",
     "rollup_1d_cascade",

@@ -144,3 +144,52 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
             ).alias("dup3_frac"),
         )
     )
+
+
+def tfidf_topterms(docs: DataFrame, k: int = 3) -> DataFrame:
+    """Per-doc top-k terms by TF-IDF (smoothed sklearn-style idf =
+    ln((N+1)/(df+1)) + 1) — keyword extraction for the training-data
+    pipeline. Ranking uses PURE INTEGER keys (tf desc, df asc, term asc) so
+    engine order is float-drift-free; the reported score is the float.
+
+    Scale: tf is one explode+agg on (doc_id, word) — partial-aggregated;
+    df is an agg of the tf table (no second scan); N is a 1-row broadcast.
+    The per-doc top-k window partitions by doc_id — the same key tf is
+    already partitioned by, so no extra shuffle."""
+    from pyspark.sql import Window as W
+
+    w = words_col()
+    tf = (
+        docs.select("doc_id", F.explode(w).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1.0),
+                4,
+            ),
+        )
+    )
+    rk = W.partitionBy("doc_id").orderBy(
+        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rk))
+        .filter(F.col("rank") <= k)
+        .select(
+            "doc_id",
+            F.col("rank").cast("int").alias("rank"),
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.col("score").cast("double").alias("score"),
+        )
+    )
