@@ -1537,6 +1537,18 @@ def multimodal_features(spark, sf_dir):
     return feats.select("media_id", "kind", "payload_sha", F.size("feat").alias("dim"))
 
 
+@register("multimodal_resize")
+def multimodal_resize(spark, sf_dir):
+    """REAL numpy PPM resize over the opaque-binary column (box-average
+    resample, re-encoded P6); non-image payloads pass through byte-identical.
+    Rows-only (binary decode has no SQL oracle); pinned by pixel-exact numpy
+    goldens in tests/test_streaming.py::test_resize_images_real."""
+    from .operators.multimodal import resize_images, synth_media
+
+    out = resize_images(synth_media(spark, n=64), out_w=8, out_h=6)
+    return out.select("media_id", "kind", "width", "height", F.length("payload").alias("n_bytes"))
+
+
 # ---------------------------------------------------------------------------
 # Batch 3: tier joins, sampling, set collection, complex-expr surface
 # ---------------------------------------------------------------------------
