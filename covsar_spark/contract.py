@@ -1549,6 +1549,23 @@ def multimodal_resize(spark, sf_dir):
     return out.select("media_id", "kind", "width", "height", F.length("payload").alias("n_bytes"))
 
 
+@register("multimodal_audio")
+def multimodal_audio(spark, sf_dir):
+    """REAL audio DSP (RMS / zero-crossing rate / Hann-power spectral
+    centroid via numpy rfft) over the real WAV decoder. Rows-only; pinned by
+    the pure-tone oracle in tests/test_streaming.py (440 Hz sine ->
+    centroid 440 +/- a bin, rms = A/sqrt(2), zcr = 2f/sr)."""
+    from .operators.multimodal import audio_features, synth_media
+
+    out = audio_features(synth_media(spark, n=64))
+    return out.select(
+        "media_id",
+        F.round("rms", 6).alias("rms"),
+        F.round("zcr", 6).alias("zcr"),
+        F.round("spectral_centroid_hz", 3).alias("spectral_centroid_hz"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Batch 3: tier joins, sampling, set collection, complex-expr surface
 # ---------------------------------------------------------------------------

@@ -253,3 +253,38 @@ def resize_images(media: DataFrame, out_w: int = 8, out_h: int = 6) -> DataFrame
     return media.mapInPandas(
         op, "media_id string, kind string, payload binary, width int, height int"
     )
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """REAL audio DSP over the real WAV decoder: per audio row RMS,
+    zero-crossing rate, and FFT spectral centroid in Hz (numpy rfft, Hann
+    window + power weighting — the standard centroid definition; a
+    rectangular-window magnitude centroid leaks a pure 440 Hz tone up to
+    ~770 Hz). Non-audio rows are filtered JVM-side before any payload ships
+    through Arrow."""
+
+    def op(it):
+        for pdf in it:
+            ids, rms, zcr, cent = [], [], [], []
+            for media_id, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                x = decode_wav(bytes(payload))
+                sr = int(meta["sample_rate"] or 16000)
+                ids.append(media_id)
+                rms.append(float(np.sqrt(np.mean(x * x))) if len(x) else 0.0)
+                zcr.append(
+                    float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if len(x) > 1 else 0.0
+                )
+                if len(x):
+                    pw = np.abs(np.fft.rfft(x.astype(np.float64) * np.hanning(len(x)))) ** 2
+                    freqs = np.fft.rfftfreq(len(x), d=1.0 / sr)
+                    s = pw.sum()
+                    cent.append(float((freqs * pw).sum() / s) if s > 0 else 0.0)
+                else:
+                    cent.append(0.0)
+            yield pd.DataFrame(
+                {"media_id": ids, "rms": rms, "zcr": zcr, "spectral_centroid_hz": cent}
+            )
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        op, "media_id string, rms double, zcr double, spectral_centroid_hz double"
+    )

@@ -1,0 +1,56 @@
+"""Driver-cap ordering guards: the verification driver only checks the FIRST
+50 entries of queries(), so export order is a correctness-reporting concern
+(round-2 lesson: 12 entries silently unverified, 3 of them never green)."""
+
+from __future__ import annotations
+
+DRIVER_CAP = 50
+
+
+def test_ordered_queries_loses_nothing():
+    from covsar_spark import contract
+
+    q = contract.ordered_queries()
+    assert sorted(q) == sorted(contract.QUERIES)
+
+
+def test_priority_entries_inside_cap():
+    from covsar_spark import contract
+
+    cap = list(contract.ordered_queries())[:DRIVER_CAP]
+    missing = [n for n in contract.DRIVER_PRIORITY if n in contract.QUERIES and n not in cap]
+    assert not missing, f"priority entries past the driver cap: {missing}"
+
+
+def test_only_demoted_or_rows_only_past_cap():
+    """Every oracle-bearing entry that spills past the cap must be an
+    explicitly demoted duplicate — adding a new entry without updating the
+    priority lists should fail here, not silently unverify something."""
+    from covsar_spark import contract
+
+    over = list(contract.ordered_queries())[DRIVER_CAP:]
+    bad = [n for n in over if n in contract.ORACLE and n not in contract.DRIVER_DEMOTED]
+    assert not bad, f"oracle entries past the cap but not in DRIVER_DEMOTED: {bad}"
+
+
+def test_every_query_has_oracle_or_is_known_rows_only():
+    """Rows-only entries are the documented kernel set — a new operator
+    should ship with a SQL oracle unless it genuinely has none."""
+    from covsar_spark import contract
+
+    known_rows_only = {
+        "closure_pair_correction",
+        "corrected_drift",
+        "chi2_significance",
+        "eigen_1m",
+        "eigen_mle_1m",
+        "compress_chunks",
+        "ann_lsh_topk",
+        "ann_ivf_topk",
+        "near_dup_lsh",
+        "multimodal_features",
+        "multimodal_resize",
+        "multimodal_audio",
+    }
+    rows_only = {n for n in contract.QUERIES if n not in contract.ORACLE}
+    assert rows_only == known_rows_only, rows_only ^ known_rows_only

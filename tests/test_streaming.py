@@ -228,3 +228,27 @@ def test_resize_images_real(spark):
         else:
             orig = src[src["media_id"] == r.media_id]["payload"].iloc[0]
             assert bytes(r.payload) == bytes(orig)
+
+
+def test_audio_features_real_dsp(spark):
+    """Pure 440 Hz tone: spectral centroid lands at ~440 Hz, RMS at
+    ~1/sqrt(2) of the amplitude, ZCR at ~2*f/sr — real FFT DSP, not a fake."""
+    import numpy as np
+    import pandas as pd
+
+    from covsar_spark.operators.multimodal import MEDIA_SCHEMA, _make_wav, audio_features
+
+    sr, f, n = 16000, 440.0, 4096
+    t = np.arange(n) / sr
+    payload = _make_wav((0.8 * np.sin(2 * np.pi * f * t)).astype(np.float32), rate=sr)
+    media = spark.createDataFrame(
+        [("a-1", "audio", payload, (None, None, sr, None)),
+         ("v-1", "video", b"\x00" * 16, (4, 4, None, 8))],
+        MEDIA_SCHEMA,
+    )
+    out = audio_features(media).toPandas()
+    assert list(out["media_id"]) == ["a-1"]  # non-audio filtered out
+    row = out.iloc[0]
+    assert abs(row.spectral_centroid_hz - f) < 15.0, row.spectral_centroid_hz
+    assert abs(row.rms - 0.8 / np.sqrt(2)) < 0.01
+    assert abs(row.zcr - 2 * f / sr) < 0.005
