@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "lc_window_stats",
     "repetition_stats",
     "tfidf_topterms",
+    "boilerplate_ngrams",
     "eigen_mle_1m",
     "eigen_1m",
     "compress_chunks",

@@ -1262,6 +1262,29 @@ def tfidf_topterms(spark, sf_dir):
     return text_ops.tfidf_topterms(_read(spark, sf_dir, "documents"), k=3)
 
 
+@register(
+    "boilerplate_ngrams",
+    rf"""
+    WITH w AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
+    g AS (SELECT doc_id, words,
+                 unnest(generate_series(1, greatest(len(words) - 4, 0))) AS i FROM w),
+    sh AS (SELECT DISTINCT doc_id,
+                  words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' ||
+                  words[i+3] || ' ' || words[i+4] AS shingle FROM g)
+    SELECT shingle, count(*)::BIGINT AS n_docs
+    FROM sh GROUP BY 1 HAVING count(*) >= 3
+    ORDER BY n_docs DESC, shingle ASC LIMIT 50
+    """,
+)
+def boilerplate_ngrams(spark, sf_dir):
+    """Dataset-level boilerplate detection: 5-gram shingles shared by >= 3
+    distinct docs, top-50 by document frequency (integer-keyed order) — the
+    cross-doc repeated-template diagnostic of CCNet/Gopher-style cleaning."""
+    from .operators.dedup import boilerplate_ngrams as bp
+
+    return bp(_read(spark, sf_dir, "documents"), k=5, min_docs=3, top=50)
+
+
 # ---------------------------------------------------------------------------
 # Token-domain ops on the derived training-sequence table
 # ---------------------------------------------------------------------------
@@ -1818,6 +1841,7 @@ DRIVER_PRIORITY = [
     "lc_window_stats",
     "repetition_stats",
     "tfidf_topterms",
+    "boilerplate_ngrams",
 ]
 
 # Oracle-bearing entries that are weaker variants of an in-cap sibling:
@@ -1829,9 +1853,11 @@ DRIVER_PRIORITY = [
 # jaccard_verified), embedding_norms (array fold, by ann_cosine_topk),
 # quality_score (text-quality fractions, by word_stats + lang_id +
 # repetition_stats), topk_per_group (top-k-per-group window, by
-# tfidf_topterms which ranks with the same row_number pattern).
+# tfidf_topterms which ranks with the same row_number pattern), word_stats
+# (per-doc token counting, by tfidf_topterms' tf + repetition_stats).
 DRIVER_DEMOTED = [
     "topk_per_group",
+    "word_stats",
     "running_sum",
     "lag_diff",
     "rollup_1d_cascade",

@@ -205,3 +205,19 @@ def simhash(docs: DataFrame, bits: int = 60) -> DataFrame:
         term = F.when(2 * F.col(f"s{b}") > F.col("n_w"), F.lit(1 << b).cast("long")).otherwise(0)
         code = term if code is None else code + term
     return votes.select("doc_id", code.alias("simhash"))
+
+
+def boilerplate_ngrams(docs: DataFrame, k: int = 5, min_docs: int = 3, top: int = 50) -> DataFrame:
+    """Dataset-level boilerplate detection: word k-shingles shared by at
+    least ``min_docs`` DISTINCT documents, ranked by document frequency —
+    the cross-doc repeated-template diagnostic the CCNet/Gopher-style
+    cleaning pipelines run before training. One shingle explode + two
+    partial-aggregated counts; the final top-N is a tiny global sort on the
+    already-collapsed shingle table."""
+    sh = shingles(docs, k)  # distinct per doc by construction
+    byg = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        byg.filter(F.col("n_docs") >= min_docs)
+        .orderBy(F.col("n_docs").desc(), F.col("shingle").asc())
+        .limit(top)
+    )
