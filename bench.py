@@ -82,6 +82,7 @@ BENCH_QUERIES = [
     "tfidf_topterms",
     "boilerplate_ngrams",
     "eigen_mle_1m",
+    "eigen_complex_1m",
     "eigen_1m",
     "compress_chunks",
     "codec_roundtrip",

@@ -1468,6 +1468,26 @@ def eigen_mle_1m(spark, sf_dir):
     )
 
 
+@register("eigen_complex_1m")
+def eigen_complex_1m(spark, sf_dir):
+    """Complex phase linking — the reference's ACTUAL domain
+    (covsar/library.py:113-146 eig_decomp on complex coherence), run on unit
+    phasors derived from the 1m rollup (the phase_cumprod construction) as
+    (re, im) column pairs. Rows-only; pinned by exact rank-1 phasor recovery
+    + plumbing goldens in tests/test_eigen_kernel.py."""
+    from .operators.eigen import eigen_complex_rollup
+
+    roll = _events_1m(spark, sf_dir)
+    ph = F.log(F.col("token_count") + 1.0)
+    z = roll.select("source", "epoch_s", F.cos(ph).alias("re"), F.sin(ph).alias("im"))
+    e = eigen_complex_rollup(z, "1m")
+    return e.select(
+        "source", "span_s", "n_epochs",
+        F.round("lam", 6).cast("double").alias("lam"),
+        F.round("tc", 6).cast("double").alias("tc"),
+    )
+
+
 @register("compress_chunks")
 def compress_chunks(spark, sf_dir):
     from .operators.compress import compress_rollup

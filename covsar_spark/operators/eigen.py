@@ -247,3 +247,115 @@ def eigen_rollup(
         )
 
     return with_span.groupBy("source", "_bkt").applyInPandas(kernel, EIGEN_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Complex-valued phase linking — the reference's actual domain
+# (covsar/library.py:113-146 eig_decomp on complex coherence). The real graft
+# above covers the BASELINE payload; this extension runs the same kernel on
+# unit-phasor series carried as (re, im) column pairs (SURVEY.md §1.2:
+# "complex support is an extension").
+# ---------------------------------------------------------------------------
+
+
+def lagcov_eig_complex(z: np.ndarray, p: int = EIGEN_P) -> tuple[float, float, np.ndarray]:
+    """Complex series -> (leading eigenvalue, tc, complex eigvec).
+
+    Hermitian lag Gram G = X X^H / m over the complex trajectory matrix;
+    gauge matches the reference exactly (covsar/library.py:134-138): rotate
+    by conj(v0/|v0|) so the first element is real-positive.
+
+    Defined as the batch-of-1 of `lagcov_eig_complex_batch` so single and
+    grouped paths are bit-identical by construction (the 2-D and batched
+    zgemm forms differ in the last ulp, unlike the real dgemm path); the
+    kernel MATH is pinned independently by the exact rank-1 phasor recovery
+    test, not by single-vs-batch redundancy."""
+    return lagcov_eig_complex_batch([np.asarray(z, dtype=np.complex128)], p)[0]
+
+
+def lagcov_eig_complex_batch(series: list[np.ndarray], p: int = EIGEN_P):
+    """Batched complex variant: same by-length batching as the real kernel —
+    one batched complex gemm + batched eigh per length group, vectorized
+    reference gauge."""
+    out = [None] * len(series)
+    by_len: dict[int, list[int]] = {}
+    for i, s in enumerate(series):
+        by_len.setdefault(len(s), []).append(i)
+    for n, idxs in by_len.items():
+        p_eff = min(p, n)
+        if p_eff == 0:
+            for i in idxs:
+                out[i] = (0.0, 0.0, np.zeros(0, dtype=np.complex128))
+            continue
+        m = n - p_eff + 1
+        B = len(idxs)
+        stack = np.empty((B, n), dtype=np.complex128)
+        for b, i in enumerate(idxs):
+            stack[b] = series[i]
+        Xs = np.ascontiguousarray(
+            np.lib.stride_tricks.sliding_window_view(stack, m, axis=1)
+        )  # (B, p_eff, m)
+        G = Xs @ Xs.conj().transpose(0, 2, 1) / m
+        w, V = np.linalg.eigh(G)
+        lam = w[:, -1]
+        vecs = V[:, :, -1].copy()
+        tr = np.trace(G, axis1=1, axis2=2).real
+        v0 = vecs[:, 0]
+        scale = np.abs(v0)
+        rot = np.where(scale > _GAUGE_EPS, v0 / np.where(scale > _GAUGE_EPS, scale, 1.0), 1.0)
+        vecs *= np.conj(rot)[:, None]
+        tc = np.where(tr > _GAUGE_EPS, lam / np.where(tr > _GAUGE_EPS, tr, 1.0), 0.0)
+        for b, i in enumerate(idxs):
+            out[i] = (float(lam[b]), float(tc[b]), vecs[b])
+    return out
+
+
+EIGEN_COMPLEX_SCHEMA = (
+    "source string, span_s long, n_epochs int, lam double, tc double, "
+    "eig_re array<double>, eig_im array<double>"
+)
+
+
+def eigen_complex_rollup(
+    rollup: DataFrame,
+    tier: str,
+    p: int = EIGEN_P,
+    re_col: str = "re",
+    im_col: str = "im",
+    span_buckets: int = 32,
+) -> DataFrame:
+    """Per-(source, span) complex phase linking over (re, im) columns — the
+    same single-shuffle span-bucketed plan as the real `eigen_rollup`."""
+    span = EIGEN_SPAN[tier]
+    with_span = (
+        rollup.withColumn("span_s", (F.floor(F.col("epoch_s") / span) * span).cast("long"))
+        .withColumn("_bkt", F.pmod(F.floor(F.col("span_s") / span), F.lit(span_buckets)))
+        .select(
+            "source", "_bkt", "span_s", "epoch_s",
+            F.col(re_col).cast("double").alias("re"),
+            F.col(im_col).cast("double").alias("im"),
+        )
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys, series = [], []
+        for (src, sp), g in pdf.groupby(["source", "span_s"], sort=True):
+            g = g.sort_values("epoch_s", kind="mergesort")
+            keys.append((src, sp, len(g)))
+            series.append(
+                g["re"].to_numpy(np.float64) + 1j * g["im"].to_numpy(np.float64)
+            )
+        res = lagcov_eig_complex_batch(series, p)
+        return pd.DataFrame(
+            {
+                "source": [k[0] for k in keys],
+                "span_s": [k[1] for k in keys],
+                "n_epochs": [k[2] for k in keys],
+                "lam": [r[0] for r in res],
+                "tc": [r[1] for r in res],
+                "eig_re": [r[2].real.copy() for r in res],
+                "eig_im": [r[2].imag.copy() for r in res],
+            }
+        )
+
+    return with_span.groupBy("source", "_bkt").applyInPandas(kernel, EIGEN_COMPLEX_SCHEMA)

@@ -44,6 +44,7 @@ def test_every_query_has_oracle_or_is_known_rows_only():
         "chi2_significance",
         "eigen_1m",
         "eigen_mle_1m",
+        "eigen_complex_1m",
         "compress_chunks",
         "ann_lsh_topk",
         "ann_ivf_topk",

@@ -240,3 +240,70 @@ def test_eigen_rollup_mle_matches_single(spark, tiny_cols):
             resid = np.linalg.norm(M @ ve - row.lam * ve)
             assert resid <= 1e-6 * max(1.0, np.linalg.norm(M)), resid
         assert abs(np.linalg.norm(ve) - 1.0) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Complex phase linking (covsar/library.py:113-146 on complex coherence)
+# ---------------------------------------------------------------------------
+
+
+def test_complex_rank1_phasor_exact_recovery():
+    """A constant-rate phasor series z_t = exp(i(w t + phi0)) has an exactly
+    rank-1 trajectory: tc == 1 and the linked eigenvector is the lag phasor
+    ramp exp(i w l)/sqrt(p), first element real-positive (reference gauge)."""
+    from covsar_spark.operators.eigen import lagcov_eig_complex
+
+    w, phi0, n, p = 0.37, 1.1, 64, 8
+    z = np.exp(1j * (w * np.arange(n) + phi0))
+    lam, tc, v = lagcov_eig_complex(z, p=p)
+    assert abs(tc - 1.0) < 1e-12
+    want = np.exp(1j * w * np.arange(p)) / np.sqrt(p)
+    np.testing.assert_allclose(v, want, atol=1e-9)
+    assert abs(v[0].imag) < 1e-12 and v[0].real > 0
+
+
+def test_complex_batch_equals_single():
+    from covsar_spark.operators.eigen import (
+        lagcov_eig_complex,
+        lagcov_eig_complex_batch,
+    )
+
+    rng = np.random.default_rng(5)
+    series = [
+        np.exp(1j * rng.normal(0, 1, n)).astype(np.complex128) for n in (60, 60, 24, 7)
+    ]
+    batch = lagcov_eig_complex_batch(series)
+    for s, (blam, btc, bv) in zip(series, batch):
+        lam, tc, v = lagcov_eig_complex(s)
+        assert lam == blam and tc == btc
+        assert np.array_equal(v, bv)
+
+
+def test_eigen_complex_rollup_matches_single(spark, tiny_cols):
+    """Spark plumbing: unit phasors from the 1m rollup's cumulative phase
+    (the phase_cumprod construction) through the grouped kernel equal the
+    pure single-series kernel on identically ordered series."""
+    from covsar_spark.operators.eigen import eigen_complex_rollup, lagcov_eig_complex
+    from covsar_spark.operators.rollup import rollup_tokens, with_event_time
+    from covsar_spark.schemas import EIGEN_SPAN
+
+    from pyspark.sql import functions as F
+
+    roll = rollup_tokens(with_event_time(cols_to_spark(spark, tiny_cols)), "1m")
+    ph = F.log(F.col("token_count") + 1.0)
+    z = roll.select(
+        "source", "epoch_s", F.cos(ph).alias("re"), F.sin(ph).alias("im")
+    )
+    got = eigen_complex_rollup(z, "1m").toPandas()
+    base = z.toPandas().sort_values(["source", "epoch_s"])
+    span = EIGEN_SPAN["1m"]
+    base["span_s"] = (base["epoch_s"] // span) * span
+    assert len(got) > 0
+    for row in got.itertuples():
+        g = base[(base["source"] == row.source) & (base["span_s"] == row.span_s)]
+        g = g.sort_values("epoch_s")
+        zz = g["re"].to_numpy(np.float64) + 1j * g["im"].to_numpy(np.float64)
+        lam, tc, v = lagcov_eig_complex(zz)
+        assert lam == row.lam and tc == row.tc
+        np.testing.assert_array_equal(np.asarray(row.eig_re), v.real)
+        np.testing.assert_array_equal(np.asarray(row.eig_im), v.imag)
