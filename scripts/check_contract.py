@@ -1,6 +1,8 @@
 """Local mimic of the driver's correctness gate: run each contract query in
 Spark AND its DuckDB oracle at sf=0.01, compare row count, column names, and
-order-insensitive values. Usage: python scripts/check_contract.py [name ...]
+order-insensitive values (signbit-aware: -0.0 != +0.0, like the driver's
+value hash). Usage:
+    python scripts/check_contract.py [--sf-dir /root/testdata/sf0.001] [name ...]
 """
 
 from __future__ import annotations
@@ -72,7 +74,13 @@ def compare(name: str, got: pd.DataFrame, exp: pd.DataFrame) -> list[str]:
 def main():
     from covsar_spark import contract
 
-    names = sys.argv[1:] or list(contract.QUERIES)
+    global SF_DIR
+    args = sys.argv[1:]
+    if "--sf-dir" in args:
+        i = args.index("--sf-dir")
+        SF_DIR = args[i + 1]
+        del args[i : i + 2]
+    names = args or list(contract.QUERIES)
     spark = get_spark("contract_check", cores=8, shuffle_partitions=8)
     con = duck_conn()
     n_ok = 0
