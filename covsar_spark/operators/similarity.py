@@ -12,10 +12,11 @@
 - `near_dup_pairs`: exact all-pairs cosine near-duplicates via DISTRIBUTED
   block matmul: vectors are grouped into B blocks executor-side
   (collect_list per block — a shuffle, never a driver collect), the B(B+1)/2
-  unordered block pairs are enumerated with a tiny broadcast join, and each
+  unordered block pairs are enumerated as a tiny broadcast table of bare int
+  ids, vector blocks attach via shuffle equi-joins on blk, and each
   block-pair task runs one gemm. Memory per task is bounded by the block
-  size; at cluster scale B grows with the corpus (two-level blocking caps
-  collect_list width) and the plan stays shuffle+broadcast — no driver state.
+  size (auto-derived <=64 MB) and nothing vector-sized is ever broadcast —
+  no driver state, no per-executor corpus copy.
 - `near_dup_lsh`: the sub-quadratic variant — LSH bucket candidates verified
   with the exact Arrow cosine (`pair_cosine`).
 """
@@ -256,13 +257,23 @@ def near_dup_pairs(
         .groupBy("blk")
         .agg(F.collect_list(F.struct("vec_id", "embedding", "label")).alias("items"))
     )
+    # Block-pair enumeration: the ONLY broadcast is the B(B+1)/2 table of
+    # bare int ids (spark.range cross join — bytes, not vectors); the packed
+    # VECTOR blocks attach via two shuffle equi-joins on blk. Broadcasting
+    # the packed table itself (the previous formulation) ships the whole
+    # corpus to every executor — a memory bomb at scale.
+    sess = emb.sparkSession
+    ids_a = sess.range(n_blocks).select(F.col("id").alias("blk_a"))
+    ids_b = sess.range(n_blocks).select(F.col("id").alias("blk_b"))
+    pair_ids = F.broadcast(ids_a.crossJoin(ids_b).filter(F.col("blk_a") <= F.col("blk_b")))
     pairs = (
-        packed.select(F.col("blk").alias("blk_a"), F.col("items").alias("items_a"))
+        pair_ids.join(
+            packed.select(F.col("blk").alias("blk_a"), F.col("items").alias("items_a")),
+            "blk_a",
+        )
         .join(
-            F.broadcast(
-                packed.select(F.col("blk").alias("blk_b"), F.col("items").alias("items_b"))
-            ),
-            F.col("blk_a") <= F.col("blk_b"),
+            packed.select(F.col("blk").alias("blk_b"), F.col("items").alias("items_b")),
+            "blk_b",
         )
         # spread the B(B+1)/2 tasks across executors
         .repartition("blk_a", "blk_b")

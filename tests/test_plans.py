@@ -86,16 +86,22 @@ def test_bootstrap_single_aggregation_no_explode(spark):
 
 
 def test_near_dup_pairs_no_driver_state(spark):
-    """The block-matmul near-dup must be a shuffle+broadcast plan: packed
-    blocks (ObjectHashAggregate collect_list), broadcast block pairing, and
-    the gemm in mapInPandas — never a driver-side collect (round-1 finding)."""
+    """The block-matmul near-dup must be a shuffle plan with only the tiny
+    int block-pair table broadcast: packed blocks (ObjectHashAggregate
+    collect_list) attach via shuffle equi-joins, the gemm runs in
+    mapInPandas — never a driver-side collect (round-1 finding) and never a
+    broadcast of the packed VECTOR table (round-3 finding: that ships the
+    whole corpus to every executor)."""
     from covsar_spark.operators.similarity import near_dup_pairs
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     plan = _plan(near_dup_pairs(emb))
     assert "MapInPandas" in plan
-    assert "BroadcastExchange" in plan  # tiny packed-block side broadcast
+    assert "BroadcastExchange" in plan  # the bare int pair-id table only
     assert "CollectLimit" not in plan
+    # the collect_list aggregate must sit under a shuffle (hash exchange on
+    # blk), not under a broadcast exchange
+    assert "ObjectHashAggregate" in plan
 
 
 def test_jaccard_verified_candidates_not_hint_broadcast(spark):
