@@ -54,6 +54,7 @@ BENCH_QUERIES = [
     "corrected_drift",
     "running_product",
     "phase_cumprod",
+    "phase_unwrap",
     "interferogram",
     "mean_lag_coherence",
     "kappa_grid",

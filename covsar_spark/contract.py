@@ -291,6 +291,49 @@ def phase_cumprod_q(spark, sf_dir):
 
 
 @register(
+    "phase_unwrap",
+    f"""
+    WITH m AS ({_EV_1M_SQL}),
+    s AS (SELECT source, epoch_s,
+                 sum(ln(token_count + 1.0)) OVER (PARTITION BY source ORDER BY epoch_s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tot
+          FROM m),
+    w AS (SELECT source, epoch_s,
+                 fmod(fmod(tot + pi(), 2 * pi()) + 2 * pi(), 2 * pi()) - pi() AS ph
+          FROM s),
+    u AS (SELECT source, epoch_s, ph,
+                 ceil((ph - lag(ph) OVER (PARTITION BY source ORDER BY epoch_s) - pi())
+                      / (2 * pi()))::BIGINT AS k
+          FROM w)
+    SELECT source, epoch_s, round(ph, 6) AS wrapped,
+           round(ph - 2 * pi() * sum(coalesce(k, 0)) OVER (PARTITION BY source ORDER BY epoch_s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS unwrapped
+    FROM u
+    """,
+)
+def phase_unwrap_q(spark, sf_dir):
+    """1-D temporal phase unwrapping (np.unwrap semantics) of the wrapped
+    cumulative phase — the time-series form of the reference's spatial
+    snaphu unwrap step (covsar/unwrap.py, covsar/unwrap_all.py: external
+    binary, env-gated like geocoding). Pure window algebra: wraps crossed =
+    ceil((diff - pi) / 2pi), correction = -2pi * running sum."""
+    from .functions.complexmath import wrap_phase
+    from .operators.windowfns import unwrap_phase
+
+    m = _events_1m(spark, sf_dir)
+    wsum = W.partitionBy("source").orderBy("epoch_s").rowsBetween(W.unboundedPreceding, 0)
+    ph = m.withColumn(
+        "ph", wrap_phase(F.sum(F.log(F.col("token_count") + 1.0)).over(wsum))
+    )
+    out = unwrap_phase(ph, "ph", ["source"], ["epoch_s"])
+    return out.select(
+        "source", "epoch_s",
+        F.round("ph", 6).cast("double").alias("wrapped"),
+        F.round("unwrapped", 6).cast("double").alias("unwrapped"),
+    )
+
+
+@register(
     "interferogram",
     f"""
     WITH m AS ({_EV_1M_SQL}),
@@ -1862,6 +1905,7 @@ DRIVER_PRIORITY = [
     "repetition_stats",
     "tfidf_topterms",
     "boilerplate_ngrams",
+    "phase_unwrap",
 ]
 
 # Oracle-bearing entries that are weaker variants of an in-cap sibling:
@@ -1874,10 +1918,13 @@ DRIVER_PRIORITY = [
 # quality_score (text-quality fractions, by word_stats + lang_id +
 # repetition_stats), topk_per_group (top-k-per-group window, by
 # tfidf_topterms which ranks with the same row_number pattern), word_stats
-# (per-doc token counting, by tfidf_topterms' tf + repetition_stats).
+# (per-doc token counting, by tfidf_topterms' tf + repetition_stats),
+# value_histogram (binned distribution summary, by percentile_summary's
+# exact quantiles).
 DRIVER_DEMOTED = [
     "topk_per_group",
     "word_stats",
+    "value_histogram",
     "running_sum",
     "lag_diff",
     "rollup_1d_cascade",

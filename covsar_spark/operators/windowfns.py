@@ -67,3 +67,31 @@ def phase_cumprod(
     total = wrap_phase(F.sum(F.col(phase_col)).over(w))
     re, im = c_exp(total)
     return df.withColumn("cum_phase", total).withColumn("cum_re", re).withColumn("cum_im", im)
+
+
+def unwrap_phase(
+    df: DataFrame,
+    phase_col: str,
+    partition_cols: list[str],
+    order_cols: list[str],
+    out_col: str = "unwrapped",
+) -> DataFrame:
+    """1-D temporal phase unwrapping (np.unwrap semantics): add multiples of
+    2*pi so every consecutive difference lands in (-pi, pi]. The reference
+    unwraps spatially via the external snaphu binary (covsar/unwrap.py — a
+    CLI wrapper, env-gated like geocoding); the time-series engine form is
+    the 1-D unwrap of a linked/cumulative phase series along time.
+
+    Pure window algebra, no UDF: wraps crossed at step i is
+    k_i = ceil((d_i - pi) / (2 pi)) (0 within (-pi, pi], matching
+    np.unwrap's half-open convention), and the correction is the running
+    sum -2 pi * cumsum(k). Both the lag and the cumsum share one
+    (partition, order) sort-shuffle."""
+    import math
+
+    w_order = W.partitionBy(*partition_cols).orderBy(*order_cols)
+    w_cum = w_order.rowsBetween(W.unboundedPreceding, 0)
+    d = F.col(phase_col) - F.lag(phase_col).over(w_order)
+    k = F.ceil((d - math.pi) / (2 * math.pi)).cast("long")
+    total_k = F.sum(F.coalesce(k, F.lit(0))).over(w_cum)
+    return df.withColumn(out_col, F.col(phase_col) - 2 * math.pi * total_k)

@@ -50,3 +50,30 @@ def test_phase_cumprod_is_phasor_product(spark):
     np.testing.assert_allclose(out["cum_im"], z.imag, atol=1e-12)
     # angles wrapped to [-pi, pi)
     assert ((out["cum_phase"] >= -math.pi) & (out["cum_phase"] < math.pi)).all()
+
+
+def test_unwrap_phase_matches_numpy(spark):
+    """Window-algebra unwrap == np.unwrap on random wrapped series per key,
+    including multi-cycle jumps."""
+    rng = np.random.default_rng(17)
+    rows = []
+    for key in ("a", "b"):
+        # a smooth walk with deliberate multi-wrap jumps, then wrapped
+        steps = rng.normal(0, 1.2, 300)
+        steps[::37] += rng.choice([-9.0, 9.0], size=len(steps[::37]))
+        true = np.cumsum(steps)
+        wrapped = np.mod(true + np.pi, 2 * np.pi) - np.pi
+        for i, w in enumerate(wrapped):
+            rows.append((key, i, float(w)))
+    pdf = pd.DataFrame(rows, columns=["k", "i", "ph"])
+    from covsar_spark.operators.windowfns import unwrap_phase
+
+    got = (
+        unwrap_phase(spark.createDataFrame(pdf), "ph", ["k"], ["i"])
+        .toPandas()
+        .sort_values(["k", "i"])
+    )
+    for key in ("a", "b"):
+        g = got[got["k"] == key]
+        want = np.unwrap(g["ph"].to_numpy())
+        np.testing.assert_allclose(g["unwrapped"].to_numpy(), want, atol=1e-9)
