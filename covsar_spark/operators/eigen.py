@@ -49,6 +49,8 @@ def lagcov_eig(
     ``method='mle'`` routes the same Gram through the EMI linker instead
     (lam is then the BOTTOM eigenvalue of |C|^-1 ∘ C; tc unchanged).
     """
+    if method not in ("evd", "mle"):
+        raise ValueError(f"unknown eigen method {method!r} (expected 'evd' or 'mle')")
     x = np.asarray(x, dtype=np.float64)
     p_eff = min(p, len(x))
     if p_eff == 0:
@@ -76,6 +78,8 @@ def lagcov_eig_batch(series: list[np.ndarray], p: int = EIGEN_P, method: str = "
     including the gauge fix (covsar/library.py:121-128 pattern, but with no
     per-span Python at all). ``method='mle'`` adds one batched inverse +
     eigh on the same Grams (EMI linker) — still zero per-span Python."""
+    if method not in ("evd", "mle"):
+        raise ValueError(f"unknown eigen method {method!r} (expected 'evd' or 'mle')")
     out = [None] * len(series)
     by_len: dict[int, list[int]] = {}
     for i, s in enumerate(series):
@@ -182,7 +186,15 @@ def emi_link_batch(G: np.ndarray, ridge: float = 0.0) -> tuple[np.ndarray, np.nd
     try:
         Ainv = np.linalg.inv(A)  # batched
     except np.linalg.LinAlgError:
-        Ainv = np.stack([np.linalg.pinv(a) for a in A])
+        # invert per matrix so non-singular members keep the exact inv()
+        # result (batch==single consistency); pinv only for the singular ones
+        def _inv1(a: np.ndarray) -> np.ndarray:
+            try:
+                return np.linalg.inv(a)
+            except np.linalg.LinAlgError:
+                return np.linalg.pinv(a)
+
+        Ainv = np.stack([_inv1(a) for a in A])
     w, V = np.linalg.eigh(Ainv * C)
     lam = w[:, 0]
     vecs = V[:, :, 0].copy()

@@ -68,6 +68,8 @@ def decode_ppm(payload: bytes) -> np.ndarray:
         raise ValueError("not a binary PPM")
     w, h = (int(x) for x in parts[1].split())
     maxval = int(parts[2])
+    if maxval > 255:
+        raise ValueError("P6 maxval > 255 (2-byte samples) not supported")
     pix = np.frombuffer(parts[3], dtype=np.uint8, count=w * h * 3)
     return pix.astype(np.float32) / float(maxval)
 
@@ -206,18 +208,23 @@ def resize_ppm(payload: bytes, out_w: int, out_h: int) -> bytes:
         raise ValueError("not a binary PPM")
     w, h = (int(x) for x in parts[1].split())
     maxval = int(parts[2])
+    if maxval > 255:
+        raise ValueError("P6 maxval > 255 (2-byte samples) not supported")
     pix = np.frombuffer(parts[3], dtype=np.uint8, count=w * h * 3).reshape(h, w, 3)
     # index-map resample: for each output pixel, average the input box it
-    # covers (degenerates to nearest-neighbor when upsampling)
+    # covers (degenerates to nearest-neighbor when upsampling). Fully
+    # vectorized: add.reduceat over the box boundaries in both axes — a
+    # degenerate boundary pair (idx[i] >= idx[i+1], the upsampling case)
+    # yields the single row/col at idx[i], which is exactly the
+    # nearest-neighbor box the loop form computed.
     ys = (np.arange(out_h + 1) * h) // out_h
     xs = (np.arange(out_w + 1) * w) // out_w
-    out = np.empty((out_h, out_w, 3), dtype=np.uint8)
-    for oy in range(out_h):
-        y0, y1 = ys[oy], max(ys[oy + 1], ys[oy] + 1)
-        row = pix[y0:y1]
-        for ox in range(out_w):
-            x0, x1 = xs[ox], max(xs[ox + 1], xs[ox] + 1)
-            out[oy, ox] = row[:, x0:x1].reshape(-1, 3).mean(axis=0).round()
+    rowsum = np.add.reduceat(pix.astype(np.float64), ys[:-1], axis=0)
+    boxsum = np.add.reduceat(rowsum, xs[:-1], axis=1)
+    ny = np.maximum(np.diff(ys), 1)
+    nx = np.maximum(np.diff(xs), 1)
+    mean = boxsum / (ny[:, None, None] * nx[None, :, None])
+    out = mean.round().astype(np.uint8)
     return b"P6\n%d %d\n%d\n" % (out_w, out_h, maxval) + out.tobytes()
 
 

@@ -105,8 +105,14 @@ def run_tiers(
 
 def flagship(tokens: DataFrame) -> DataFrame:
     """One DataFrame joining the 1m rollup quality summary with its eigen
-    kernel output — the per-window rolled-up points + dominant-mode metrics."""
-    tiers = run_tiers(tokens, with_eigen=True, persist=False)
+    kernel output — the per-window rolled-up points + dominant-mode metrics.
+
+    persist=True is load-bearing: BOTH branches below (hourly summary and
+    the eigen kernel) read the gap-filled 1m tier, so without it the
+    calendar-grid join + fill would execute twice in `entry()`'s plan
+    (InMemoryRelation reuse instead; verified in
+    tests/test_plans.py::test_flagship_reuses_filled_tier)."""
+    tiers = run_tiers(tokens, with_eigen=True, persist=True)
     filled = tiers["1m"]["filled"]
     eig = tiers["1m"]["eigen"]
     hourly = filled.groupBy(

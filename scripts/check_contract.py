@@ -78,6 +78,8 @@ def main():
     args = sys.argv[1:]
     if "--sf-dir" in args:
         i = args.index("--sf-dir")
+        if i + 1 >= len(args):
+            sys.exit("usage: check_contract.py [--sf-dir DIR] [name ...]")
         SF_DIR = args[i + 1]
         del args[i : i + 2]
     names = args or list(contract.QUERIES)

@@ -190,3 +190,22 @@ def test_tier_kernel_single_exchange(spark, tiny_cols):
     # (the sentinel branch is a union, not a join)
     assert plan.count("REPARTITION_BY_NUM") == 1
     assert "SortMergeJoin" not in plan and "NestedLoopJoin" not in plan
+
+
+def test_flagship_reuses_filled_tier(spark):
+    """flagship() feeds the gap-filled 1m tier to BOTH the hourly summary
+    and the eigen kernel; the persisted tier must appear as InMemoryRelation
+    so the calendar-grid join + fill execute once, not per consumer."""
+    from covsar_spark.plans.pipeline import flagship
+
+    tokens = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.col("n_chars").cast("long").alias("n_tok"),
+            "source",
+        )
+    )
+    df = flagship(tokens)
+    plan = _plan(df)
+    assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan

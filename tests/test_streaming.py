@@ -252,3 +252,46 @@ def test_audio_features_real_dsp(spark):
     assert abs(row.spectral_centroid_hz - f) < 15.0, row.spectral_centroid_hz
     assert abs(row.rms - 0.8 / np.sqrt(2)) < 0.01
     assert abs(row.zcr - 2 * f / sr) < 0.005
+
+
+def test_resize_ppm_large_and_upsample():
+    """The vectorized reduceat resample must equal the per-pixel loop oracle
+    at realistic thumbnail sizes (non-divisible boxes) AND when upsampling
+    (degenerate boxes -> nearest neighbor); maxval > 255 is rejected."""
+    import numpy as np
+    import pytest
+
+    from covsar_spark.operators.multimodal import decode_ppm, resize_ppm
+
+    def loop_resize(payload, out_w, out_h):
+        parts = payload.split(b"\n", 3)
+        w, h = (int(x) for x in parts[1].split())
+        pix = np.frombuffer(parts[3], dtype=np.uint8, count=w * h * 3).reshape(h, w, 3)
+        ys = (np.arange(out_h + 1) * h) // out_h
+        xs = (np.arange(out_w + 1) * w) // out_w
+        out = np.empty((out_h, out_w, 3), dtype=np.uint8)
+        for oy in range(out_h):
+            y0, y1 = ys[oy], max(ys[oy + 1], ys[oy] + 1)
+            row = pix[y0:y1]
+            for ox in range(out_w):
+                x0, x1 = xs[ox], max(xs[ox + 1], xs[ox] + 1)
+                out[oy, ox] = row[:, x0:x1].reshape(-1, 3).mean(axis=0).round()
+        return out
+
+    rng = np.random.default_rng(17)
+    big = rng.integers(0, 256, 300 * 200 * 3, dtype=np.uint8)
+    payload = b"P6\n300 200\n255\n" + big.tobytes()
+    # non-divisible downsample: 300x200 -> 97x41
+    got = decode_ppm(resize_ppm(payload, 97, 41)).reshape(41, 97, 3)
+    want = loop_resize(payload, 97, 41).astype(np.float32) / 255.0
+    np.testing.assert_array_equal(got, want)
+    # upsample: 4x3 -> 10x7 (nearest-neighbor degenerate boxes)
+    tiny = b"P6\n4 3\n255\n" + rng.integers(0, 256, 36, dtype=np.uint8).tobytes()
+    got_u = decode_ppm(resize_ppm(tiny, 10, 7)).reshape(7, 10, 3)
+    want_u = loop_resize(tiny, 10, 7).astype(np.float32) / 255.0
+    np.testing.assert_array_equal(got_u, want_u)
+    # 2-byte-sample P6 rejected loudly instead of silently misdecoded
+    with pytest.raises(ValueError, match="maxval"):
+        resize_ppm(b"P6\n2 2\n65535\n" + bytes(24), 1, 1)
+    with pytest.raises(ValueError, match="maxval"):
+        decode_ppm(b"P6\n2 2\n65535\n" + bytes(24))
