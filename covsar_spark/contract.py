@@ -1590,8 +1590,48 @@ def tier_cascade_1h(spark, sf_dir):
     )
 
 
-@register("ann_lsh_topk")
+@register(
+    "ann_lsh_topk",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    u AS (SELECT vec_id, g.d AS d, floor(v[g.d + 1] * 1000000)::BIGINT AS q
+          FROM e, generate_series(0, 63) g(d)),
+    coef AS (SELECT p.p, d.d,
+             (('0x' || substr(md5('lshplane|123|' || p.p || '|' || d.d), 1, 10))::BIGINT
+              % 2001 - 1000) AS c
+             FROM generate_series(0, 7) p(p), generate_series(0, 63) d(d)),
+    proj AS (SELECT u.vec_id, c.p, sum(u.q * c.c) AS s
+             FROM u JOIN coef c ON c.d = u.d GROUP BY 1, 2),
+    bk AS (SELECT vec_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
+           FROM proj GROUP BY 1),
+    qp AS (SELECT vec_id AS query_id, bucket FROM bk WHERE vec_id < 5
+           UNION
+           SELECT b.vec_id, xor(b.bucket, 1::BIGINT << i.i)
+           FROM bk b, generate_series(0, 7) i(i) WHERE b.vec_id < 5
+           UNION
+           SELECT b.vec_id, xor(b.bucket, xor(1::BIGINT << i.i, 1::BIGINT << j.j))
+           FROM bk b, generate_series(0, 7) i(i), generate_series(0, 7) j(j)
+           WHERE b.vec_id < 5 AND j.j > i.i),
+    cand AS (SELECT DISTINCT qp.query_id, c.vec_id AS neighbor_id
+             FROM qp JOIN bk c ON c.bucket = qp.bucket
+             WHERE c.vec_id <> qp.query_id),
+    s AS (SELECT cand.query_id, cand.neighbor_id,
+                 list_cosine_similarity(eq.v, ec.v) AS sim
+          FROM cand JOIN e eq ON eq.vec_id = cand.query_id
+                    JOIN e ec ON ec.vec_id = cand.neighbor_id),
+    r AS (SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, neighbor_id) AS rank
+          FROM s)
+    SELECT query_id, rank::BIGINT AS rank, neighbor_id FROM r WHERE rank <= 10
+    """,
+)
 def ann_lsh_topk(spark, sf_dir):
+    """Multi-probe LSH ANN with an EXACT oracle: hyperplanes are
+    deterministic md5-derived integers and the sign-of-projection runs in
+    exact int64 arithmetic on floor-quantized embeddings (see
+    operators/similarity.hyperplanes), so DuckDB replays bucket assignment
+    bit-for-bit and the exact cosine ranking inside the probed buckets."""
     r = sim_ops.lsh_topk(_read(spark, sf_dir, "embeddings"), n_queries=5, k=10)
     return r.withColumn("rank", F.col("rank").cast("long"))
 
@@ -1897,7 +1937,7 @@ DRIVER_PRIORITY = [
     "collect_epochs",
     "intensity_db",
     "running_product",
-    "ann_lsh_topk",          # rows-only, but failed r1 and never got a driver row
+    "ann_lsh_topk",          # r4: exact md5-plane oracle (was structurally rows-only)
     "multimodal_features",   # rows-only, but failed r1 and never got a driver row
     # new round-3 oracle entries — no driver row yet
     "gapfill_cross_1m",

@@ -88,8 +88,26 @@ def cosine_topk(emb: DataFrame, n_queries: int = 5, k: int = 10) -> DataFrame:
     )
 
 
+PLANE_SCALE = 1000  # integer coefficients in [-1000, 1000]
+QUANT = 1_000_000.0  # embedding quantization: q[d] = floor(x[d] * 1e6)
+
+
 def hyperplanes(dim: int, n_planes: int = 12, seed: int = 123) -> np.ndarray:
-    return np.random.default_rng(seed).normal(0, 1, (n_planes, dim))
+    """Deterministic INTEGER hyperplanes from md5 arithmetic — the same
+    values an SQL engine derives as
+    ``('0x' || substr(md5('lshplane|seed|p|d'), 1, 10))::BIGINT % 2001 - 1000``,
+    so bucket assignment is exactly replayable by the DuckDB oracle (the
+    `minhash_params` trick, dedup.py). Uniform symmetric coefficients give
+    the same sign-of-projection LSH guarantees as Gaussian planes for
+    angular similarity (Charikar SimHash family)."""
+    import hashlib
+
+    c = np.empty((n_planes, dim), dtype=np.int64)
+    for p in range(n_planes):
+        for d in range(dim):
+            h = int(hashlib.md5(f"lshplane|{seed}|{p}|{d}".encode()).hexdigest()[:10], 16)
+            c[p, d] = h % (2 * PLANE_SCALE + 1) - PLANE_SCALE
+    return c
 
 
 def lsh_bucket_udf(n_planes: int = 8, seed: int = 123):
@@ -97,13 +115,17 @@ def lsh_bucket_udf(n_planes: int = 8, seed: int = 123):
     per-plane interpreted HOF fold — ~300us/plane/row -> one BLAS call).
     Planes are re-derived from (dim, seed) inside the UDF, so the plan needs
     no driver-side schema probe and every batch/executor sees identical
-    planes."""
+    planes. The projection is EXACT int64 arithmetic on floor-quantized
+    embeddings (|q| <= ~1e6, |c| <= 1e3, 64 dims -> |proj| <= ~6.4e10, far
+    below 2^63 and 2^53), so the bucket id is bit-identical across engines,
+    summation orders, and the SQL oracle."""
 
     @F.pandas_udf(T.LongType())
     def bucket(v: pd.Series) -> pd.Series:
         M = np.stack(v.to_numpy()).astype(np.float64)
+        Q = np.floor(M * QUANT).astype(np.int64)
         planes = hyperplanes(M.shape[1], n_planes, seed)
-        bits = (M @ planes.T) > 0
+        bits = (Q @ planes.T) > 0
         weights = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
         return pd.Series(bits.astype(np.int64) @ weights)
 
@@ -120,8 +142,18 @@ def lsh_topk(
     with_b = emb.withColumn("bucket", bucket(F.col("embedding"))).withColumn(
         "nrm", _norm(F.col("embedding"))
     )
+    # multi-probe to Hamming distance 2: self + single-bit + two-bit flips
+    # (1 + P + P(P-1)/2 buckets of the 2^P total). Depth 2 is the recall
+    # knob that keeps the integer-plane variant >= the 0.6 floor; candidate
+    # volume stays a small fraction of the corpus and only query rows fan out.
     probes = F.array(
-        F.col("bucket"), *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)],
+        *[
+            F.col("bucket").bitwiseXOR(F.lit((1 << i) ^ (1 << j)))
+            for i in range(n_planes)
+            for j in range(i + 1, n_planes)
+        ],
     )
     q = (
         with_b.filter(F.col("vec_id") < n_queries)

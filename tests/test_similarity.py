@@ -81,8 +81,8 @@ def test_lsh_topk_recall(emb_df):
     e = {(int(r.query_id), int(r.neighbor_id)) for r in exact.itertuples()}
     a = {(int(r.query_id), int(r.neighbor_id)) for r in approx.itertuples()}
     recall = len(e & a) / len(e)
-    # multi-probe (Hamming-1) hyperplane LSH on clustered data: measured
-    # ~0.65 on this fixture at 8 planes; 0.6 is the promised floor
+    # multi-probe (Hamming-2) integer-plane LSH on clustered data:
+    # measured ~0.78 on this fixture at 8 planes; 0.6 is the promised floor
     assert recall >= 0.6, f"lsh_topk recall@{k} = {recall:.3f}"
 
 
