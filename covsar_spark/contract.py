@@ -1655,12 +1655,64 @@ def near_dup_lsh_q(spark, sf_dir):
     )
 
 
-@register("multimodal_features")
-def multimodal_features(spark, sf_dir):
-    from .operators.multimodal import extract_features, synth_media
+def _multimodal_oracle_sql() -> str:
+    from .operators.multimodal import DOC_PPM_HEADER, DOC_WAV_HEADER
 
-    feats = extract_features(synth_media(spark, n=64))
-    return feats.select("media_id", "kind", "payload_sha", F.size("feat").alias("dim"))
+    return f"""
+    WITH d AS (SELECT doc_id, md5(text) AS seed,
+                      CASE doc_id % 3 WHEN 0 THEN 'image'
+                                      WHEN 1 THEN 'audio'
+                                      ELSE 'video' END AS kind
+               FROM documents WHERE doc_id < 64),
+    body AS (SELECT doc_id, kind,
+                    string_agg(md5(seed || ':' || kind || ':' || j::VARCHAR),
+                               '' ORDER BY j) AS hexbody
+             FROM (SELECT doc_id, kind, seed,
+                          unnest(generate_series(0, CASE kind WHEN 'image' THEN 35
+                                                              WHEN 'audio' THEN 31
+                                                              ELSE 7 END)) AS j
+                   FROM d)
+             GROUP BY 1, 2),
+    hx AS (SELECT doc_id, kind, hexbody,
+                  (CASE kind WHEN 'image' THEN '{DOC_PPM_HEADER.hex()}'
+                             WHEN 'audio' THEN '{DOC_WAV_HEADER.hex()}'
+                             ELSE '' END) || hexbody AS hexfull
+           FROM body),
+    raw AS (SELECT doc_id, sum(('0x' || substr(hexbody, g * 2 + 1, 2))::BIGINT) AS bsum,
+                   count(*) AS ns
+            FROM (SELECT doc_id, hexbody,
+                         unnest(generate_series(0, len(hexbody) // 2 - 1)) AS g
+                  FROM hx WHERE kind <> 'audio')
+            GROUP BY 1),
+    aud AS (SELECT doc_id, sum(CASE WHEN v >= 32768 THEN v - 65536 ELSE v END) AS bsum,
+                   count(*) AS ns
+            FROM (SELECT doc_id,
+                         ('0x' || substr(hexbody, i.i * 4 + 3, 2))::BIGINT * 256
+                       + ('0x' || substr(hexbody, i.i * 4 + 1, 2))::BIGINT AS v
+                  FROM hx, generate_series(0, 255) i(i) WHERE kind = 'audio')
+            GROUP BY 1),
+    s AS (SELECT doc_id, bsum, ns FROM raw UNION ALL SELECT doc_id, bsum, ns FROM aud)
+    SELECT hx.doc_id::VARCHAR AS media_id, hx.kind,
+           (len(hexfull) // 2)::BIGINT AS n_bytes,
+           sha256(hexfull) AS payload_sha,
+           s.bsum::BIGINT AS byte_sum,
+           (CASE WHEN hx.kind = 'video' THEN NULL ELSE s.ns END)::BIGINT AS n_samples
+    FROM hx JOIN s ON s.doc_id = hx.doc_id
+    """
+
+
+@register("multimodal_features", _multimodal_oracle_sql())
+def multimodal_features(spark, sf_dir):
+    """EXACT-oracle multimodal round trip: media payloads are derived
+    deterministically FROM the documents table (md5(text) chains + real
+    P6/WAV headers, pure codegen'd expressions — operators/multimodal.py
+    media_from_docs), then the REAL decoders re-read them and emit integer
+    checksums + the payload sha the DuckDB oracle recomputes from the same
+    chains. A decode bug, byte drop, or Arrow corruption breaks the hash."""
+    from .operators.multimodal import media_from_docs, media_oracle_features
+
+    docs = _read(spark, sf_dir, "documents")
+    return media_oracle_features(media_from_docs(docs))
 
 
 @register("multimodal_resize")
@@ -1938,7 +1990,7 @@ DRIVER_PRIORITY = [
     "intensity_db",
     "running_product",
     "ann_lsh_topk",          # r4: exact md5-plane oracle (was structurally rows-only)
-    "multimodal_features",   # rows-only, but failed r1 and never got a driver row
+    "multimodal_features",   # r4: docs-derived md5-chain payloads, exact oracle
     # new round-3 oracle entries — no driver row yet
     "gapfill_cross_1m",
     "lc_window_stats",

@@ -295,3 +295,112 @@ def audio_features(media: DataFrame) -> DataFrame:
     return media.filter(F.col("kind") == "audio").mapInPandas(
         op, "media_id string, rms double, zcr double, spectral_centroid_hz double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Oracle-verifiable media: payloads derived deterministically FROM the
+# documents table with pure JVM-side expressions (md5 chains -> unhex), so a
+# SQL oracle can rebuild every byte and the REAL decoders prove the
+# Spark-side round trip bit-for-bit (covsar/isceio.py raw-binary analogue
+# with a verifiable synthesis instead of satellite files).
+# ---------------------------------------------------------------------------
+
+DOC_IMG_W, DOC_IMG_H = 16, 12  # 576 body bytes = 36 md5 chains
+DOC_AUDIO_N = 256  # PCM16 samples = 512 bytes = 32 chains
+DOC_VIDEO_CHAINS = 8  # 128 opaque bytes
+DOC_PPM_HEADER = b"P6\n%d %d\n255\n" % (DOC_IMG_W, DOC_IMG_H)
+
+
+def _wav_header(n_samples: int = DOC_AUDIO_N, rate: int = 16000) -> bytes:
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(np.zeros(n_samples, dtype="<i2").tobytes())
+    return buf.getvalue()[:44]
+
+
+DOC_WAV_HEADER = _wav_header()
+
+
+def _chain_hex(seed, kind: str, n_chains: int) -> F.Column:
+    """Concatenated md5 chain: md5(seed || ':kind:j') for j in 0..n-1 —
+    16 payload bytes per link, identical in any engine with md5()."""
+    return F.concat(*[F.md5(F.concat(seed, F.lit(f":{kind}:{j}"))) for j in range(n_chains)])
+
+
+def media_from_docs(docs: DataFrame, n: int = 64) -> DataFrame:
+    """MEDIA_SCHEMA table whose payload bytes derive from md5(text) chains:
+    doc_id % 3 picks the modality; image/audio get REAL decodable headers
+    (P6 PPM, 44-byte PCM16 WAV) ahead of the chain bytes. All construction
+    is codegen'd string/binary expressions — no UDF, no driver state."""
+    d = docs.filter(F.col("doc_id") < n).select(
+        F.col("doc_id"), F.md5(F.col("text").cast("binary")).alias("seed")
+    )
+    m3 = F.col("doc_id") % 3
+    kind = F.when(m3 == 0, F.lit("image")).when(m3 == 1, F.lit("audio")).otherwise(F.lit("video"))
+    body = (
+        F.when(m3 == 0, _chain_hex(F.col("seed"), "image", DOC_IMG_W * DOC_IMG_H * 3 // 16))
+        .when(m3 == 1, _chain_hex(F.col("seed"), "audio", DOC_AUDIO_N * 2 // 16))
+        .otherwise(_chain_hex(F.col("seed"), "video", DOC_VIDEO_CHAINS))
+    )
+    header = (
+        F.when(m3 == 0, F.lit(DOC_PPM_HEADER.hex()))
+        .when(m3 == 1, F.lit(DOC_WAV_HEADER.hex()))
+        .otherwise(F.lit(""))
+    )
+    meta = F.struct(
+        F.when(m3 == 0, F.lit(DOC_IMG_W)).cast("int").alias("width"),
+        F.when(m3 == 0, F.lit(DOC_IMG_H)).cast("int").alias("height"),
+        F.when(m3 == 1, F.lit(16000)).cast("int").alias("sample_rate"),
+        F.lit(None).cast("int").alias("n_frames"),
+    )
+    return d.select(
+        F.col("doc_id").cast("string").alias("media_id"),
+        kind.alias("kind"),
+        F.unhex(F.concat(header, body)).alias("payload"),
+        meta.alias("meta"),
+    )
+
+
+def media_oracle_features(media: DataFrame) -> DataFrame:
+    """REAL decode -> integer checksums a SQL oracle can replay: per row
+    (media_id, kind, n_bytes, payload_sha = sha256 of the lowercase-hex
+    payload, byte_sum = exact integer sum of DECODED content — pixel bytes
+    for image, signed PCM16 samples for audio, raw bytes for video — and
+    n_samples = decoded element count). Exactness notes: PCM16/32768 is a
+    power-of-two scale (float32-exact both ways); pixel/255 round-trips
+    within 1e-5 of the integer so rint() recovers it exactly."""
+
+    def op(it):
+        for pdf in it:
+            out = {"media_id": [], "kind": [], "n_bytes": [], "payload_sha": [],
+                   "byte_sum": [], "n_samples": []}
+            for media_id, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                b = bytes(payload)
+                if kind == "image":
+                    raw = decode_ppm(b)
+                    ints = np.rint(raw.astype(np.float64) * 255.0).astype(np.int64)
+                    bsum, ns = int(ints.sum()), len(ints)
+                elif kind == "audio":
+                    raw = decode_wav(b)
+                    ints = np.rint(raw.astype(np.float64) * 32768.0).astype(np.int64)
+                    bsum, ns = int(ints.sum()), len(ints)
+                else:
+                    bsum, ns = int(np.frombuffer(b, dtype=np.uint8).sum()), None
+                out["media_id"].append(media_id)
+                out["kind"].append(kind)
+                out["n_bytes"].append(len(b))
+                out["payload_sha"].append(hashlib.sha256(b.hex().encode()).hexdigest())
+                out["byte_sum"].append(bsum)
+                out["n_samples"].append(ns)
+            pdf_out = pd.DataFrame(out)
+            pdf_out["n_samples"] = pdf_out["n_samples"].astype("Int64")
+            yield pdf_out
+
+    return media.mapInPandas(
+        op,
+        "media_id string, kind string, n_bytes long, payload_sha string, "
+        "byte_sum long, n_samples long",
+    )

@@ -295,3 +295,44 @@ def test_resize_ppm_large_and_upsample():
         resize_ppm(b"P6\n2 2\n65535\n" + bytes(24), 1, 1)
     with pytest.raises(ValueError, match="maxval"):
         decode_ppm(b"P6\n2 2\n65535\n" + bytes(24))
+
+
+def test_media_from_docs_oracle_roundtrip(spark):
+    """Docs-derived media: payloads built by codegen'd md5 chains must be
+    REAL-decodable (P6/WAV parse), and the integer checksums must equal a
+    direct hashlib reconstruction of the same chains."""
+    import hashlib
+
+    import numpy as np
+
+    from covsar_spark.operators.multimodal import (
+        DOC_PPM_HEADER,
+        DOC_WAV_HEADER,
+        media_from_docs,
+        media_oracle_features,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = media_oracle_features(media_from_docs(docs, n=12)).toPandas()
+    src = docs.filter("doc_id < 12").select("doc_id", "text").toPandas()
+    assert len(out) == 12
+    texts = dict(zip(src["doc_id"].astype(int), src["text"]))
+    for r in out.itertuples():
+        doc_id = int(r.media_id)
+        seed = hashlib.md5(texts[doc_id].encode()).hexdigest()
+        n_chains = {"image": 36, "audio": 32, "video": 8}[r.kind]
+        hexbody = "".join(
+            hashlib.md5(f"{seed}:{r.kind}:{j}".encode()).hexdigest() for j in range(n_chains)
+        )
+        header = {"image": DOC_PPM_HEADER, "audio": DOC_WAV_HEADER, "video": b""}[r.kind]
+        payload = header + bytes.fromhex(hexbody)
+        assert r.n_bytes == len(payload)
+        assert r.payload_sha == hashlib.sha256(payload.hex().encode()).hexdigest()
+        body = np.frombuffer(bytes.fromhex(hexbody), dtype=np.uint8)
+        if r.kind == "audio":
+            want = int(np.frombuffer(body.tobytes(), dtype="<i2").astype(np.int64).sum())
+            assert int(r.n_samples) == 256
+        else:
+            want = int(body.astype(np.int64).sum())
+            assert (int(r.n_samples) == 576) if r.kind == "image" else (r.n_samples is None or np.isnan(r.n_samples))
+        assert int(r.byte_sum) == want
