@@ -711,6 +711,50 @@ def asof_join_q(spark, sf_dir):
 
 
 @register(
+    "nearest_point",
+    """
+    WITH c AS (SELECT c_custkey AS id,
+                      ('0x' || substr(md5('px:' || c_custkey), 1, 10))::BIGINT % 100000 AS x,
+                      ('0x' || substr(md5('py:' || c_custkey), 1, 10))::BIGINT % 100000 AS y
+               FROM customer),
+    q AS (SELECT s_suppkey AS query_id,
+                 ('0x' || substr(md5('qx:' || s_suppkey), 1, 10))::BIGINT % 100000 AS x,
+                 ('0x' || substr(md5('qy:' || s_suppkey), 1, 10))::BIGINT % 100000 AS y
+          FROM supplier WHERE s_suppkey <= 8),
+    d AS (SELECT q.query_id, c.id,
+                 (c.x - q.x) * (c.x - q.x) + (c.y - q.y) * (c.y - q.y) AS dist2,
+                 row_number() OVER (PARTITION BY q.query_id
+                                    ORDER BY (c.x - q.x) * (c.x - q.x)
+                                           + (c.y - q.y) * (c.y - q.y), c.id) AS rn
+          FROM q CROSS JOIN c)
+    SELECT query_id, id AS nn_id, dist2 FROM d WHERE rn = 1
+    """,
+)
+def nearest_point(spark, sf_dir):
+    """1-NN nearest-point lookup (covsar/latlon.py:5-13, SURVEY J3/O3):
+    integer coordinates derived from md5 arithmetic (oracle-exact), the
+    query side broadcast, argmin as a partial-aggregated min(struct) — not
+    a window over the cross join (operators/asof.nearest_point_join)."""
+    from .operators.asof import nearest_point_join
+
+    def _coord(prefix, key):
+        h = F.conv(F.substring(F.md5(F.concat(F.lit(prefix), key.cast("string"))), 1, 10), 16, 10)
+        return h.cast("long") % 100000
+
+    cand = _read(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        _coord("px:", F.col("c_custkey")).alias("x"),
+        _coord("py:", F.col("c_custkey")).alias("y"),
+    )
+    qs = _read(spark, sf_dir, "supplier").filter(F.col("s_suppkey") <= 8).select(
+        F.col("s_suppkey").alias("query_id"),
+        _coord("qx:", F.col("s_suppkey")).alias("x"),
+        _coord("qy:", F.col("s_suppkey")).alias("y"),
+    )
+    return nearest_point_join(cand, qs)
+
+
+@register(
     "session_attribution",
     """
     WITH o AS (
@@ -1991,6 +2035,8 @@ DRIVER_PRIORITY = [
     "running_product",
     "ann_lsh_topk",          # r4: exact md5-plane oracle (was structurally rows-only)
     "multimodal_features",   # r4: docs-derived md5-chain payloads, exact oracle
+    # new round-4 oracle entries — no driver row yet
+    "nearest_point",
     # new round-3 oracle entries — no driver row yet
     "gapfill_cross_1m",
     "lc_window_stats",

@@ -130,3 +130,42 @@ def asof_join(
     return carried.filter(F.col("_is_r") == 0).select(
         *lcols, "asof_t", *[f"asof_{c}" for c in payload]
     )
+
+
+def nearest_point_join(
+    cand: DataFrame,
+    queries: DataFrame,
+    id_col: str = "id",
+    query_id_col: str = "query_id",
+    x_col: str = "x",
+    y_col: str = "y",
+) -> DataFrame:
+    """1-NN point lookup (covsar/latlon.py:5-13 `latlon_to_index`: argmin of
+    squared distance over the coordinate grid), distributed.
+
+    For each (small) query point, the single nearest candidate by squared
+    Euclidean distance, ties broken by candidate id. NOT a window over the
+    cross join (that would shuffle n_cand x n_q rows): the query table
+    broadcasts, distance is computed map-side, and ONE partial-aggregated
+    `min(struct(dist2, id))` per query reduces to n_q x n_partitions rows
+    through the exchange — the same plan shape at 100 TB of candidates.
+    Struct ordering is lexicographic, so min() IS the tie-broken argmin.
+    """
+    q = queries.select(
+        F.col(query_id_col),
+        F.col(x_col).alias("_qx"),
+        F.col(y_col).alias("_qy"),
+    )
+    dx = F.col(x_col) - F.col("_qx")
+    dy = F.col(y_col) - F.col("_qy")
+    d2 = dx * dx + dy * dy  # pure int64 when coords are ints — oracle-exact
+    return (
+        cand.crossJoin(F.broadcast(q))
+        .groupBy(query_id_col)
+        .agg(
+            F.min(
+                F.struct(d2.cast("long").alias("dist2"), F.col(id_col).alias("nn_id"))
+            ).alias("_m")
+        )
+        .select(query_id_col, F.col("_m.nn_id").alias("nn_id"), F.col("_m.dist2").alias("dist2"))
+    )

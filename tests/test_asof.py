@@ -164,3 +164,29 @@ def test_asof_single_exchange_no_join(spark):
     )
     assert "Join" not in plan  # union + window, never a theta join
     assert "NestedLoopJoin" not in plan
+
+
+def test_nearest_point_join_matches_numpy(spark):
+    """1-NN argmin semantics vs a direct numpy oracle, including ties
+    (equal dist2 -> smallest candidate id wins)."""
+    import numpy as np
+    import pandas as pd
+
+    from covsar_spark.operators.asof import nearest_point_join
+
+    rng = np.random.default_rng(3)
+    n = 200
+    cx, cy = rng.integers(0, 50, n), rng.integers(0, 50, n)  # small grid forces ties
+    qx, qy = rng.integers(0, 50, 6), rng.integers(0, 50, 6)
+    cand = spark.createDataFrame(
+        pd.DataFrame({"id": np.arange(n, dtype=np.int64), "x": cx.astype(np.int64), "y": cy.astype(np.int64)})
+    )
+    qs = spark.createDataFrame(
+        pd.DataFrame({"query_id": np.arange(6, dtype=np.int64), "x": qx.astype(np.int64), "y": qy.astype(np.int64)})
+    )
+    got = nearest_point_join(cand, qs).toPandas().set_index("query_id").sort_index()
+    for q in range(6):
+        d2 = (cx - qx[q]) ** 2 + (cy - qy[q]) ** 2
+        best = min(range(n), key=lambda i: (d2[i], i))
+        assert got.loc[q, "nn_id"] == best
+        assert got.loc[q, "dist2"] == d2[best]

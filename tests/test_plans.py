@@ -209,3 +209,15 @@ def test_flagship_reuses_filled_tier(spark):
     df = flagship(tokens)
     plan = _plan(df)
     assert "InMemoryTableScan" in plan or "InMemoryRelation" in plan
+
+
+def test_nearest_point_broadcast_partial_agg(spark):
+    """nearest_point: the query side must broadcast (no shuffle of the
+    candidate table for the join) and the argmin must partial-aggregate
+    map-side — NOT a window over the cross join."""
+    from covsar_spark.contract import QUERIES
+
+    plan = _plan(QUERIES["nearest_point"](spark, "/root/testdata/sf0.001"))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "partial_min" in plan
+    assert "Window" not in plan
