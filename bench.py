@@ -85,6 +85,10 @@ BENCH_QUERIES = [
     "eigen_mle_1m",
     "eigen_complex_1m",
     "eigen_1m",
+    "nl_phase_fit_1m",
+    "nearest_point",
+    "ann_lsh_topk",
+    "multimodal_features",
     "compress_chunks",
     "codec_roundtrip",
 ]

@@ -1535,6 +1535,27 @@ def eigen_1m(spark, sf_dir):
     )
 
 
+@register("nl_phase_fit_1m")
+def nl_phase_fit_1m(spark, sf_dir):
+    """Nonlinear closure-model fit (covsar/regression/nl_phase.py:37-86
+    estimate_s: L1 grid search + Gauss-Newton with J = x) per (source,
+    eigen-span) over the 1m rollup's pair phases — the reference's
+    continuous fit beyond the kappa GRID search. Rows-only: iterative
+    wrapped-phase optimization has no SQL oracle; pinned by the planted
+    recovery / batch==single / loop-oracle goldens in tests/test_nlfit.py."""
+    from .operators.nlfit import nlfit_rollup
+
+    roll = gapfill(_events_1m(spark, sf_dir), "1m", "zero")
+    r = nlfit_rollup(roll, "1m")
+    return r.select(
+        "source", "span_s", "n_epochs", "n_pairs",
+        F.round("s_grid", 6).cast("double").alias("s_grid"),
+        F.round("s_fit", 6).cast("double").alias("s_fit"),
+        "n_iter",
+        F.round("resid_l1", 6).cast("double").alias("resid_l1"),
+    )
+
+
 @register("eigen_mle_1m")
 def eigen_mle_1m(spark, sf_dir):
     """MLE (EMI) phase-linking variant — the reference's third linker beside
@@ -2058,8 +2079,14 @@ DRIVER_PRIORITY = [
 # tfidf_topterms which ranks with the same row_number pattern), word_stats
 # (per-doc token counting, by tfidf_topterms' tf + repetition_stats),
 # value_histogram (binned distribution summary, by percentile_summary's
-# exact quantiles).
+# exact quantiles), ann_cosine_topk (r4: exact cosine ranking now also
+# driver-verified via ann_lsh_topk's in-bucket ranking + near_dup_cosine;
+# green driver rows r1-r3).
+# Every entry here is re-verified against its oracle EVERY pytest run
+# (tests/test_contract_ordering.py::test_demoted_entries_still_pass_their_oracles),
+# so demotion no longer means regressions are invisible.
 DRIVER_DEMOTED = [
+    "ann_cosine_topk",
     "topk_per_group",
     "word_stats",
     "value_histogram",

@@ -46,12 +46,48 @@ def test_every_query_has_oracle_or_is_known_rows_only():
         "eigen_mle_1m",
         "eigen_complex_1m",
         "compress_chunks",
-        "ann_lsh_topk",
+        "nl_phase_fit_1m",
         "ann_ivf_topk",
         "near_dup_lsh",
-        "multimodal_features",
         "multimodal_resize",
         "multimodal_audio",
+        # ann_lsh_topk and multimodal_features graduated to exact oracles in
+        # round 4 (md5-plane LSH, docs-derived md5-chain media)
     }
     rows_only = {n for n in contract.QUERIES if n not in contract.ORACLE}
     assert rows_only == known_rows_only, rows_only ^ known_rows_only
+
+
+def test_demoted_entries_still_pass_their_oracles(spark):
+    """Demoted-past-the-cap oracle entries are invisible to the external
+    driver gate, so regressions in them must fail HERE (round-3 advice):
+    run every DRIVER_DEMOTED entry against its DuckDB oracle at sf0.001."""
+    import importlib.util
+    import os
+
+    import duckdb
+
+    from covsar_spark import contract
+    from covsar_spark.schemas import TESTDATA_TABLES
+
+    spec = importlib.util.spec_from_file_location(
+        "check_contract", os.path.join(os.path.dirname(__file__), "..", "scripts", "check_contract.py")
+    )
+    cc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cc)
+
+    sf_dir = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in TESTDATA_TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    failures = []
+    for name in contract.DRIVER_DEMOTED:
+        sql = contract.ORACLE.get(name)
+        if sql is None:
+            continue
+        got = contract.QUERIES[name](spark, sf_dir).toPandas()
+        exp = con.sql(sql).df()
+        errs = cc.compare(name, got, exp)
+        if errs:
+            failures.append(f"{name}: {'; '.join(errs)}")
+    assert not failures, "\n".join(failures)
