@@ -289,7 +289,7 @@ def closure_correct(
     tier: str,
     value_col: str = "token_count",
     max_epochs: int = MAX_EPOCHS,
-    span_buckets: int = 32,
+    spans_per_bucket: int = 64,
     emit_pairs: bool = True,
 ) -> DataFrame:
     """Grouped correction kernel: one span row per (source, eigen-span) with
@@ -301,7 +301,7 @@ def closure_correct(
     span = EIGEN_SPAN[tier]
     with_span = (
         rollup.withColumn("span_s", (F.floor(F.col("epoch_s") / span) * span).cast("long"))
-        .withColumn("_bkt", F.pmod(F.floor(F.col("span_s") / span), F.lit(span_buckets)))
+        .withColumn("_bkt", F.floor(F.floor(F.col("span_s") / span) / spans_per_bucket))
         .select("source", "_bkt", "span_s", "epoch_s", F.col(value_col).cast("double").alias("val"))
     )
     schema = _SPAN_SCHEMA if emit_pairs else _STATS_SCHEMA

@@ -25,7 +25,7 @@ from .codecs import decode_dod, decode_xor, encode_dod, encode_xor
 
 
 def compress_rollup(
-    rollup: DataFrame, tier: str, value_col: str = "rate", span_buckets: int = 32
+    rollup: DataFrame, tier: str, value_col: str = "rate", spans_per_bucket: int = 64
 ) -> DataFrame:
     """tier rollup -> one compressed chunk row per (source, eigen-span).
 
@@ -39,7 +39,7 @@ def compress_rollup(
         (F.floor(F.col("epoch_s") / span) * span).cast("long").alias("span_s"),
         "epoch_s",
         F.col(value_col).cast("double").alias("val"),
-    ).withColumn("_bkt", F.pmod(F.floor(F.col("span_s") / span), F.lit(span_buckets)))
+    ).withColumn("_bkt", F.floor(F.floor(F.col("span_s") / span) / spans_per_bucket))
 
     def enc(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = []

@@ -211,7 +211,7 @@ def eigen_rollup(
     tier: str,
     p: int = EIGEN_P,
     value_col: str = "token_count",
-    span_buckets: int = 32,
+    spans_per_bucket: int = 64,
     method: str = "evd",
 ) -> DataFrame:
     """Per-(source, eigen-span) linked eigenpair of the lag-cov Gram.
@@ -225,16 +225,21 @@ def eigen_rollup(
 
     Input: a (preferably gap-filled) tier rollup. One shuffle, hashed on
     (source, span-bucket): grouping per individual span would mean one Arrow
-    round-trip per tiny group, so spans are bucketed — each Python-side frame
-    carries many spans of one source and the kernel runs ONE batched eigh per
-    series length. Group size stays bounded: spans/bucket x (span/tier) rows.
+    round-trip per tiny group, so ``spans_per_bucket`` CONSECUTIVE spans
+    share a bucket — each Python-side frame carries many spans of one source
+    and the kernel runs ONE batched eigh per series length. Group size is
+    bounded by construction (spans_per_bucket x span/tier rows ≈ 3.8k for
+    1m) INDEPENDENT of retention horizon, and the bucket COUNT grows with
+    the data instead (round-3 verdict: a fixed modulo-32 bucketing grew
+    ~160k-row groups at a 10-year horizon and produced 32x tiny groups for
+    short sources).
     """
     if method not in ("evd", "mle"):
         raise ValueError(f"method must be 'evd' or 'mle', got {method!r}")
     span = EIGEN_SPAN[tier]
     with_span = (
         rollup.withColumn("span_s", (F.floor(F.col("epoch_s") / span) * span).cast("long"))
-        .withColumn("_bkt", F.pmod(F.floor(F.col("span_s") / span), F.lit(span_buckets)))
+        .withColumn("_bkt", F.floor(F.floor(F.col("span_s") / span) / spans_per_bucket))
         .select("source", "_bkt", "span_s", "epoch_s", F.col(value_col).cast("double").alias("val"))
     )
 
@@ -334,14 +339,14 @@ def eigen_complex_rollup(
     p: int = EIGEN_P,
     re_col: str = "re",
     im_col: str = "im",
-    span_buckets: int = 32,
+    spans_per_bucket: int = 64,
 ) -> DataFrame:
     """Per-(source, span) complex phase linking over (re, im) columns — the
     same single-shuffle span-bucketed plan as the real `eigen_rollup`."""
     span = EIGEN_SPAN[tier]
     with_span = (
         rollup.withColumn("span_s", (F.floor(F.col("epoch_s") / span) * span).cast("long"))
-        .withColumn("_bkt", F.pmod(F.floor(F.col("span_s") / span), F.lit(span_buckets)))
+        .withColumn("_bkt", F.floor(F.floor(F.col("span_s") / span) / spans_per_bucket))
         .select(
             "source", "_bkt", "span_s", "epoch_s",
             F.col(re_col).cast("double").alias("re"),

@@ -104,7 +104,7 @@ def nlfit_rollup(
     rollup: DataFrame,
     tier: str,
     value_col: str = "token_count",
-    span_buckets: int = 32,
+    spans_per_bucket: int = 64,
     max_epochs: int = 12,
 ) -> DataFrame:
     """Per-(source, eigen-span) nonlinear fit of the pair-phase model.
@@ -118,7 +118,7 @@ def nlfit_rollup(
     span = EIGEN_SPAN[tier]
     with_span = (
         rollup.withColumn("span_s", (F.floor(F.col("epoch_s") / span) * span).cast("long"))
-        .withColumn("_bkt", F.pmod(F.floor(F.col("span_s") / span), F.lit(span_buckets)))
+        .withColumn("_bkt", F.floor(F.floor(F.col("span_s") / span) / spans_per_bucket))
         .select("source", "_bkt", "span_s", "epoch_s", F.col(value_col).cast("double").alias("val"))
     )
 

@@ -66,11 +66,21 @@ def one_run():
 one_run()
 spark.catalog.clearCache()
 
+def gc_ms():
+    beans = spark._jvm.java.lang.management.ManagementFactory.getGarbageCollectorMXBeans()
+    return sum(beans.get(i).getCollectionTime() for i in range(beans.size()))
+
+g0 = gc_ms()
 t0 = time.time()
 points = one_run()
 wall = time.time() - t0
+dgc = gc_ms() - g0
 print(json.dumps({"cores": cores, "wall_s": round(wall, 3), "points": points,
-                  "pps": round(points / wall, 1)}))
+                  "pps": round(points / wall, 1),
+                  "gc_ms": dgc,
+                  # GC stop-the-world as a fraction of the run: the profiling
+                  # signal for where the parallel level loses efficiency
+                  "gc_frac": round(dgc / 1000.0 / wall, 4)}))
 """
 
 
@@ -86,10 +96,42 @@ def run_level(cores: int, horizon_s: int, data: str) -> dict:
     return json.loads(lines[-1])
 
 
+CALIBRATE = r"""
+import json, time
+import numpy as np
+# fixed single-thread burn: matmul + fft, ~1s on an idle core. ops/s is the
+# host-speed probe — co-tenant interference shows up as a LOWER number.
+rng = np.random.default_rng(0)
+A = rng.random((384, 384)); B = rng.random((384, 384))
+x = rng.random(1 << 16)
+t0 = time.time(); n = 0
+while time.time() - t0 < 1.0:
+    (A @ B); np.fft.rfft(x); n += 1
+print(json.dumps({"calib_ops_s": round(n / (time.time() - t0), 2)}))
+"""
+
+
+def calibrate() -> float:
+    out = subprocess.run([sys.executable, "-c", CALIBRATE], capture_output=True, text=True)
+    try:
+        return json.loads(out.stdout.strip().splitlines()[-1])["calib_ops_s"]
+    except Exception:
+        return float("nan")
+
+
+def _median(xs):
+    xs = sorted(xs)
+    n = len(xs)
+    return xs[n // 2] if n % 2 else 0.5 * (xs[n // 2 - 1] + xs[n // 2])
+
+
 def main():
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 16_000_000
-    # best-of-2 by default: identical runs vary 2-3x under co-tenant load
-    repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    # 5 interleaved (lo, hi) pairs by default (round-4 protocol): back-to-back
+    # pair members see the same co-tenant load, so per-pair efficiency is the
+    # noise-robust statistic; median + worst pair are reported alongside the
+    # legacy best-of headline.
+    repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 5
     horizon_days = int(sys.argv[3]) if len(sys.argv) > 3 else 112
     n_sources = int(sys.argv[4]) if len(sys.argv) > 4 else 128
     lo, hi = (
@@ -107,16 +149,31 @@ def main():
         open(os.path.join(data, "_DONE"), "w").close()
     horizon_s = horizon_days * 86400
 
+    ratio = hi / lo
     results = {lo: [], hi: []}
-    for _ in range(repeats):
+    pairs = []
+    for i in range(repeats):
+        pair = {}
         for cores in (lo, hi):
+            c = calibrate()
             r = run_level(cores, horizon_s, data)
+            r["calib_ops_s"] = c
             results[cores].append(r)
+            pair[cores] = r
             print(json.dumps(r))
+        p_eff = (pair[hi]["pps"] / pair[lo]["pps"]) / ratio
+        calibs = [pair[lo]["calib_ops_s"], pair[hi]["calib_ops_s"]]
+        # host-speed imbalance within the pair: >1 means the lo member ran on
+        # a faster host moment than the hi member (biases efficiency DOWN)
+        imb = calibs[0] / calibs[1] if calibs[1] == calibs[1] and calibs[1] else float("nan")
+        pairs.append({"pair": i, "efficiency": round(p_eff, 3), "calib_imbalance": round(imb, 3)})
+        print(json.dumps(pairs[-1]))
     best_lo = max(r["pps"] for r in results[lo])
     best_hi = max(r["pps"] for r in results[hi])
-    ratio = hi / lo
-    eff = (best_hi / best_lo) / ratio
+    effs = [p["efficiency"] for p in pairs]
+    med_lo = _median([r["pps"] for r in results[lo]])
+    med_hi = _median([r["pps"] for r in results[hi]])
+    eff_median_levels = (med_hi / med_lo) / ratio
     print(
         json.dumps(
             {
@@ -124,12 +181,19 @@ def main():
                 "horizon_days": horizon_days,
                 "n_sources": n_sources,
                 "levels": [lo, hi],
-                f"pps_local{lo}": best_lo,
-                f"pps_local{hi}": best_hi,
-                "speedup": round(best_hi / best_lo, 3),
-                "scaling_efficiency": round(eff, 3),
+                "repeats": repeats,
+                f"pps_local{lo}_median": round(med_lo, 1),
+                f"pps_local{hi}_median": round(med_hi, 1),
+                f"pps_local{lo}_best": best_lo,
+                f"pps_local{hi}_best": best_hi,
+                "pair_efficiencies": effs,
+                "pair_calib_imbalance": [p["calib_imbalance"] for p in pairs],
+                "scaling_efficiency": round(_median(effs), 3),
+                "scaling_efficiency_median_levels": round(eff_median_levels, 3),
+                "scaling_efficiency_best": round((best_hi / best_lo) / ratio, 3),
+                "worst_pair": round(min(effs), 3),
                 "target": 0.8,
-                "pass": eff >= 0.8,
+                "pass": _median(effs) >= 0.8,
             }
         )
     )
