@@ -1701,20 +1701,79 @@ def ann_lsh_topk(spark, sf_dir):
     return r.withColumn("rank", F.col("rank").cast("long"))
 
 
-@register("ann_ivf_topk")
+@register(
+    "ann_ivf_topk",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    u AS (SELECT vec_id, g.d AS d, floor(v[g.d + 1] * 1000000)::BIGINT AS q
+          FROM e, generate_series(0, 63) g(d)),
+    cent AS (SELECT l.l, d.d,
+             (('0x' || substr(md5('ivfcent|77|' || l.l || '|' || d.d), 1, 10))::BIGINT
+              % 2001 - 1000) AS c
+             FROM generate_series(0, 15) l(l), generate_series(0, 63) d(d)),
+    sc AS (SELECT u.vec_id, c.l, sum(u.q * c.c) AS s
+           FROM u JOIN cent c ON c.d = u.d GROUP BY 1, 2),
+    rk AS (SELECT vec_id, l,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, l) AS rn
+           FROM sc),
+    corpus AS (SELECT vec_id AS neighbor_id, l AS list_id FROM rk WHERE rn = 1),
+    qp AS (SELECT vec_id AS query_id, l AS list_id FROM rk WHERE rn <= 4 AND vec_id < 5),
+    cand AS (SELECT qp.query_id, c.neighbor_id
+             FROM qp JOIN corpus c ON c.list_id = qp.list_id
+             WHERE c.neighbor_id <> qp.query_id),
+    s AS (SELECT cand.query_id, cand.neighbor_id,
+                 list_cosine_similarity(eq.v, ec.v) AS sim
+          FROM cand JOIN e eq ON eq.vec_id = cand.query_id
+                    JOIN e ec ON ec.vec_id = cand.neighbor_id),
+    r AS (SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, neighbor_id) AS rank
+          FROM s)
+    SELECT query_id, rank::BIGINT AS rank, neighbor_id FROM r WHERE rank <= 10
+    """,
+)
 def ann_ivf_topk(spark, sf_dir):
-    """IVF ANN (inverted lists under a deterministic coarse quantizer,
-    multi-probe queries) — approximate by design: rows-only; recall floor
-    vs cosine_topk pinned in tests/test_similarity.py."""
+    """IVF ANN with an EXACT oracle (r4 — was rows-only): the coarse
+    quantizer assigns by exact int64 dot products against md5-derived
+    integer centroid directions (operators/similarity.ivf_centroids), so
+    DuckDB replays inverted-list assignment, 4-list multi-probe, and the
+    exact cosine ranking inside probed lists bit-for-bit."""
     r = sim_ops.ivf_topk(_read(spark, sf_dir, "embeddings"), n_queries=5, k=10)
     return r.withColumn("rank", F.col("rank").cast("long"))
 
 
-@register("near_dup_lsh")
+@register(
+    "near_dup_lsh",
+    """
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+    u AS (SELECT vec_id, g.d AS d, floor(v[g.d + 1] * 1000000)::BIGINT AS q
+          FROM e, generate_series(0, 63) g(d)),
+    coef AS (SELECT t.t, p.p, d.d,
+             (('0x' || substr(md5('lshplane|' || (123 + 1000 * t.t) || '|' || p.p
+                                  || '|' || d.d), 1, 10))::BIGINT % 2001 - 1000) AS c
+             FROM generate_series(0, 3) t(t), generate_series(0, 5) p(p),
+                  generate_series(0, 63) d(d)),
+    proj AS (SELECT u.vec_id, c.t, c.p, sum(u.q * c.c) AS s
+             FROM u JOIN coef c ON c.d = u.d GROUP BY 1, 2, 3),
+    bk AS (SELECT vec_id, t,
+                  sum(CASE WHEN s > 0 THEN (1::BIGINT << p) ELSE 0 END) AS bucket
+           FROM proj GROUP BY 1, 2),
+    cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+             FROM bk a JOIN bk b ON a.t = b.t AND a.bucket = b.bucket
+                                AND a.vec_id < b.vec_id)
+    SELECT c.id_a, c.id_b, (ea.label = eb.label) AS same_label
+    FROM cand c
+    JOIN e ea ON ea.vec_id = c.id_a
+    JOIN e eb ON eb.vec_id = c.id_b
+    WHERE list_cosine_similarity(ea.v, eb.v) >= 0.35
+    """,
+)
 def near_dup_lsh_q(spark, sf_dir):
     """Sub-quadratic near-dup path: multi-table LSH candidates + exact Arrow
     cosine verification (precision 1.0; recall floor pinned in
-    tests/test_similarity.py). Approximate by design: rows-only here."""
+    tests/test_similarity.py). EXACT oracle since r4: the md5-integer-plane
+    buckets are SQL-replayable per table, so DuckDB reproduces the candidate
+    set and the cosine-threshold verification end-to-end."""
     return sim_ops.near_dup_lsh(
         _read(spark, sf_dir, "embeddings"), threshold=0.35, n_planes=6, n_tables=4
     )
@@ -2058,6 +2117,8 @@ DRIVER_PRIORITY = [
     "multimodal_features",   # r4: docs-derived md5-chain payloads, exact oracle
     # new round-4 oracle entries — no driver row yet
     "nearest_point",
+    "ann_ivf_topk",          # r4: exact md5-centroid oracle (was rows-only)
+    "near_dup_lsh",          # r4: exact md5-plane candidate oracle (was rows-only)
     # new round-3 oracle entries — no driver row yet
     "gapfill_cross_1m",
     "lc_window_stats",
@@ -2085,8 +2146,15 @@ DRIVER_PRIORITY = [
 # Every entry here is re-verified against its oracle EVERY pytest run
 # (tests/test_contract_ordering.py::test_demoted_entries_still_pass_their_oracles),
 # so demotion no longer means regressions are invisible.
+# unigram_logprob and token_packing (green driver rows r1-r3) were displaced
+# by the round-4 oracle graduations (ann_ivf_topk, near_dup_lsh,
+# nearest_point): their signal — explode+partial-agg token counting and
+# per-source window packing — stays in-cap via vocab_topk, tfidf_topterms,
+# and running_product.
 DRIVER_DEMOTED = [
     "ann_cosine_topk",
+    "unigram_logprob",
+    "token_packing",
     "topk_per_group",
     "word_stats",
     "value_histogram",

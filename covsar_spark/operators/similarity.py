@@ -188,21 +188,38 @@ def lsh_topk(
     )
 
 
+def ivf_centroids(dim: int, n_lists: int = 16, seed: int = 77) -> np.ndarray:
+    """Deterministic INTEGER centroid directions from md5 arithmetic — the
+    SQL-replayable analogue of the seeded-Gaussian quantizer (same derivation
+    as `hyperplanes`, key 'ivfcent|seed|l|d')."""
+    import hashlib
+
+    c = np.empty((n_lists, dim), dtype=np.int64)
+    for li in range(n_lists):
+        for d in range(dim):
+            h = int(hashlib.md5(f"ivfcent|{seed}|{li}|{d}".encode()).hexdigest()[:10], 16)
+            c[li, d] = h % (2 * PLANE_SCALE + 1) - PLANE_SCALE
+    return c
+
+
 def ivf_assign_udf(n_lists: int = 16, seed: int = 77, top: int = 1):
-    """IVF coarse quantizer: assign each vector to its ``top`` nearest of
-    ``n_lists`` deterministic unit-norm centroids (seeded Gaussian — the
-    k-means-free variant keeps assignment reproducible with no training
-    pass). One gemm per Arrow batch; returns an array of list ids so the
-    query side can multi-probe."""
+    """IVF coarse quantizer: assign each vector to the ``top`` centroid
+    directions maximizing the EXACT int64 dot product of the floor-quantized
+    embedding with md5-derived integer centroids (a deterministic conical
+    partition — k-means-free, reproducible with no training pass, and
+    bit-replayable by the SQL oracle; ties break to the smaller list id).
+    One gemm per Arrow batch; returns an array of list ids so the query side
+    can multi-probe."""
 
     @F.pandas_udf(T.ArrayType(T.IntegerType()))
     def assign(v: pd.Series) -> pd.Series:
         M = np.stack(v.to_numpy()).astype(np.float64)
-        M /= np.linalg.norm(M, axis=1, keepdims=True)
-        cents = np.random.default_rng(seed).normal(0, 1, (n_lists, M.shape[1]))
-        cents /= np.linalg.norm(cents, axis=1, keepdims=True)
-        sims = M @ cents.T
-        order = np.argsort(-sims, axis=1)[:, :top]
+        Q = np.floor(M * QUANT).astype(np.int64)
+        cents = ivf_centroids(M.shape[1], n_lists, seed)
+        scores = Q @ cents.T  # exact int64: |q|<=~1e6, |c|<=1e3, 64 dims
+        # composite sort key: desc score, asc list id — unique per list
+        comp = scores * np.int64(n_lists) - np.arange(n_lists, dtype=np.int64)
+        order = np.argsort(-comp, axis=1)[:, :top]
         return pd.Series([row.astype(np.int32) for row in order])
 
     return assign
