@@ -155,9 +155,13 @@ def main():
     for i in range(repeats):
         pair = {}
         for cores in (lo, hi):
-            c = calibrate()
+            c0 = calibrate()
             r = run_level(cores, horizon_s, data)
-            r["calib_ops_s"] = c
+            c1 = calibrate()
+            # bracket the run with host-speed probes: min() is the
+            # pessimistic host speed the run saw (load can shift mid-run)
+            r["calib_ops_s"] = min(c0, c1)
+            r["calib_pre"], r["calib_post"] = c0, c1
             results[cores].append(r)
             pair[cores] = r
             print(json.dumps(r))

@@ -221,3 +221,14 @@ def test_nearest_point_broadcast_partial_agg(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "partial_min" in plan
     assert "Window" not in plan
+
+
+def test_boilerplate_ngrams_hash_group_partial_agg(spark):
+    """boilerplate_ngrams groups on the 60-bit shingle hash with map-side
+    combine; the ranking is a TakeOrdered on the collapsed table, never a
+    global Sort of the exploded shingle stream."""
+    from covsar_spark.contract import QUERIES
+
+    plan = _plan(QUERIES["boilerplate_ngrams"](spark, "/root/testdata/sf0.001"))
+    assert "partial_" in plan
+    assert "TakeOrderedAndProject" in plan
