@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "nearest_point",
     "ann_lsh_topk",
     "multimodal_features",
+    "multimodal_frames",
     "compress_chunks",
     "codec_roundtrip",
 ]

@@ -1780,8 +1780,18 @@ def near_dup_lsh_q(spark, sf_dir):
 
 
 def _multimodal_oracle_sql() -> str:
-    from .operators.multimodal import DOC_PPM_HEADER, DOC_WAV_HEADER
+    from .operators.multimodal import (
+        DOC_PPM_HEADER,
+        DOC_WAV_HEADER,
+        DOC_Y4M_FRAME,
+        DOC_Y4M_HEADER,
+    )
 
+    fhex = 8 * 8 * 3 // 2 * 2  # hex chars per Y4M frame's C420 planes
+    video_hexfull = (
+        f"'{DOC_Y4M_HEADER.hex()}' || '{DOC_Y4M_FRAME.hex()}' || substr(hexbody, 1, {fhex})"
+        f" || '{DOC_Y4M_FRAME.hex()}' || substr(hexbody, {fhex} + 1, {fhex})"
+    )
     return f"""
     WITH d AS (SELECT doc_id, md5(text) AS seed,
                       CASE doc_id % 3 WHEN 0 THEN 'image'
@@ -1794,13 +1804,13 @@ def _multimodal_oracle_sql() -> str:
              FROM (SELECT doc_id, kind, seed,
                           unnest(generate_series(0, CASE kind WHEN 'image' THEN 35
                                                               WHEN 'audio' THEN 31
-                                                              ELSE 7 END)) AS j
+                                                              ELSE 11 END)) AS j
                    FROM d)
              GROUP BY 1, 2),
     hx AS (SELECT doc_id, kind, hexbody,
-                  (CASE kind WHEN 'image' THEN '{DOC_PPM_HEADER.hex()}'
-                             WHEN 'audio' THEN '{DOC_WAV_HEADER.hex()}'
-                             ELSE '' END) || hexbody AS hexfull
+                  CASE kind WHEN 'image' THEN '{DOC_PPM_HEADER.hex()}' || hexbody
+                            WHEN 'audio' THEN '{DOC_WAV_HEADER.hex()}' || hexbody
+                            ELSE {video_hexfull} END AS hexfull
            FROM body),
     raw AS (SELECT doc_id, sum(('0x' || substr(hexbody, g * 2 + 1, 2))::BIGINT) AS bsum,
                    count(*) AS ns
@@ -1820,9 +1830,51 @@ def _multimodal_oracle_sql() -> str:
            (len(hexfull) // 2)::BIGINT AS n_bytes,
            sha256(hexfull) AS payload_sha,
            s.bsum::BIGINT AS byte_sum,
-           (CASE WHEN hx.kind = 'video' THEN NULL ELSE s.ns END)::BIGINT AS n_samples
+           s.ns::BIGINT AS n_samples
     FROM hx JOIN s ON s.doc_id = hx.doc_id
     """
+
+
+def _frames_oracle_sql() -> str:
+    from .operators.multimodal import DOC_VID_FRAMES, DOC_VID_H, DOC_VID_W
+
+    n_lum = DOC_VID_W * DOC_VID_H  # luma bytes per frame
+    fhex = n_lum * 3 // 2 * 2  # hex chars per frame (C420 planes)
+    return f"""
+    WITH d AS (SELECT doc_id, md5(text) AS seed FROM documents
+               WHERE doc_id < 64 AND doc_id % 3 = 2),
+    body AS (SELECT doc_id,
+                    string_agg(md5(seed || ':video:' || j::VARCHAR), '' ORDER BY j) AS hexbody
+             FROM (SELECT doc_id, seed, unnest(generate_series(0, 11)) AS j FROM d)
+             GROUP BY 1),
+    fr AS (SELECT doc_id, f.f AS frame_idx,
+                  substr(hexbody, f.f * {fhex} + 1, {n_lum * 2}) AS lum_hex
+           FROM body, generate_series(0, {DOC_VID_FRAMES - 1}) f(f)),
+    s AS (SELECT doc_id, frame_idx,
+                 sum(('0x' || substr(lum_hex, g * 2 + 1, 2))::BIGINT) AS lum_sum
+          FROM (SELECT doc_id, frame_idx, lum_hex,
+                       unnest(generate_series(0, {n_lum - 1})) AS g
+                FROM fr)
+          GROUP BY 1, 2)
+    SELECT doc_id::VARCHAR AS media_id, frame_idx::BIGINT AS frame_idx,
+           round(lum_sum / {n_lum}.0 / 255.0, 6) AS mean_luma
+    FROM s
+    """
+
+
+@register("multimodal_frames", _frames_oracle_sql())
+def multimodal_frames(spark, sf_dir):
+    """REAL video frame features with an exact oracle: docs-derived Y4M
+    streams are container-parsed per frame (operators/multimodal.py
+    decode_y4m / frame_features) and per-frame mean luma — computed from the
+    exact integer plane bytes in a fixed float64 order — is recomputed by
+    DuckDB from the same md5 chains. The S3 'raw binary scan + decode'
+    SURVEY row is now REAL and hash-verified for all three modalities."""
+    from .operators.multimodal import frame_features, media_from_docs
+
+    docs = _read(spark, sf_dir, "documents")
+    r = frame_features(media_from_docs(docs))
+    return r.select("media_id", "frame_idx", F.round("mean_luma", 6).alias("mean_luma"))
 
 
 @register("multimodal_features", _multimodal_oracle_sql())
@@ -2119,6 +2171,7 @@ DRIVER_PRIORITY = [
     "nearest_point",
     "ann_ivf_topk",          # r4: exact md5-centroid oracle (was rows-only)
     "near_dup_lsh",          # r4: exact md5-plane candidate oracle (was rows-only)
+    "multimodal_frames",     # r4: REAL Y4M per-frame decode, exact oracle
     # new round-3 oracle entries — no driver row yet
     "gapfill_cross_1m",
     "lc_window_stats",
@@ -2151,10 +2204,14 @@ DRIVER_PRIORITY = [
 # nearest_point): their signal — explode+partial-agg token counting and
 # per-source window packing — stays in-cap via vocab_topk, tfidf_topterms,
 # and running_product.
+# vocab_topk joins unigram_logprob/token_packing in the demoted set (r4):
+# its explode + partial-agg + global-topk signal is in-cap via
+# tfidf_topterms and boilerplate_ngrams.
 DRIVER_DEMOTED = [
     "ann_cosine_topk",
     "unigram_logprob",
     "token_packing",
+    "vocab_topk",
     "topk_per_group",
     "word_stats",
     "value_histogram",

@@ -9,10 +9,12 @@ Decode status per modality:
   frombuffer (no external libs needed).
 - image: REAL — binary PPM (P6) header + raw RGB parsing in numpy; resize
   (box-average resample + re-encode) is REAL numpy too.
-- video: STUB — container demux/codec decode needs ffmpeg-class libs absent
-  from this image; `FAKE_DECODE` is a clearly-marked deterministic fake. The
-  Spark-side plumbing (schema, partitioning, UDF signature, Arrow batch
-  shape) is identical for all three and fully tested.
+- video: REAL for uncompressed YUV4MPEG2 (Y4M) streams — container demux +
+  per-frame C420 plane extraction in pure numpy (`decode_y4m`). COMPRESSED
+  codecs (h264 etc.) need ffmpeg-class libs absent from this image and fall
+  back to `FAKE_DECODE`, a clearly-marked deterministic fake. The Spark-side
+  plumbing (schema, partitioning, UDF signature, Arrow batch shape) is
+  identical either way and fully tested.
 """
 
 from __future__ import annotations
@@ -74,10 +76,70 @@ def decode_ppm(payload: bytes) -> np.ndarray:
     return pix.astype(np.float32) / float(maxval)
 
 
+def decode_y4m(payload: bytes) -> np.ndarray:
+    """REAL video decode: uncompressed YUV4MPEG2 (Y4M) container -> float32
+    luma frames in [0, 1], flattened (n_frames * h * w).
+
+    Pure-numpy container parse (stream header 'YUV4MPEG2 W.. H.. ... C420\\n',
+    then per frame 'FRAME\\n' + raw 4:2:0 planes). Covers the uncompressed
+    interchange format end-to-end; COMPRESSED codecs (h264 etc.) still need
+    ffmpeg-class libs absent from this image and fall back to FAKE_DECODE.
+    """
+    nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a Y4M stream")
+    w = h = None
+    c420 = True
+    for tok in payload[:nl].split(b" ")[1:]:
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+        elif tok[:1] == b"C":
+            c420 = tok[1:].startswith(b"420")
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
+    if not c420:
+        raise ValueError("only C420 supported")
+    frame_bytes = w * h + 2 * ((w // 2) * (h // 2))
+    pos = nl + 1
+    lumas = []
+    while pos < len(payload):
+        fnl = payload.find(b"\n", pos)
+        if fnl < 0 or not payload[pos:fnl].startswith(b"FRAME"):
+            raise ValueError("bad FRAME marker")
+        start = fnl + 1
+        plane = np.frombuffer(payload, dtype=np.uint8, count=frame_bytes, offset=start)
+        lumas.append(plane[: w * h])
+        pos = start + frame_bytes
+    return (np.concatenate(lumas).astype(np.float32) / 255.0) if lumas else np.zeros(0, np.float32)
+
+
+def y4m_frames_raw(payload: bytes) -> np.ndarray:
+    """All raw plane bytes (Y+U+V, every frame) of a Y4M stream as uint8 —
+    the checksum view the SQL oracle can recompute from the md5 chains."""
+    nl = payload.find(b"\n")
+    parts = []
+    pos = nl + 1
+    w = h = 0
+    for tok in payload[:nl].split(b" ")[1:]:
+        if tok[:1] == b"W":
+            w = int(tok[1:])
+        elif tok[:1] == b"H":
+            h = int(tok[1:])
+    frame_bytes = w * h + 2 * ((w // 2) * (h // 2))
+    while pos < len(payload):
+        fnl = payload.find(b"\n", pos)
+        parts.append(np.frombuffer(payload, dtype=np.uint8, count=frame_bytes, offset=fnl + 1))
+        pos = fnl + 1 + frame_bytes
+    return np.concatenate(parts) if parts else np.zeros(0, np.uint8)
+
+
 # ---------------------------------------------------------------------------
-# STUB: deterministic fake decode for VIDEO only (container/codec libs are
-# not in this image). A real deployment swaps this for ffmpeg decoding;
-# everything around it stays unchanged.
+# STUB: deterministic fake decode for COMPRESSED video only (codec libs are
+# not in this image; uncompressed Y4M decodes for REAL above). A real
+# deployment swaps this for ffmpeg decoding; everything around it stays
+# unchanged.
 # ---------------------------------------------------------------------------
 
 
@@ -93,7 +155,9 @@ def decode(payload: bytes, kind: str) -> np.ndarray:
         return decode_wav(payload)
     if kind == "image":
         return decode_ppm(payload)
-    return FAKE_DECODE(payload, kind)  # video: declared stub
+    if payload.startswith(b"YUV4MPEG2"):
+        return decode_y4m(payload)  # video: REAL for uncompressed Y4M
+    return FAKE_DECODE(payload, kind)  # compressed codecs: declared stub
 
 
 def _make_wav(samples: np.ndarray, rate: int = 16000) -> bytes:
@@ -111,9 +175,20 @@ def _make_ppm(rng: np.random.Generator, w: int = 16, h: int = 12) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + pix.tobytes()
 
 
+def _make_y4m(rng: np.random.Generator, w: int = 8, h: int = 8, n_frames: int = 4) -> bytes:
+    """VALID uncompressed Y4M (C420): stream header + per-frame marker +
+    raw Y/U/V planes — the real `decode_y4m` parses it."""
+    frame_bytes = w * h + 2 * ((w // 2) * (h // 2))
+    out = [b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C420\n" % (w, h)]
+    for _ in range(n_frames):
+        out.append(b"FRAME\n")
+        out.append(rng.integers(0, 256, frame_bytes, dtype=np.uint8).tobytes())
+    return b"".join(out)
+
+
 def synth_media(spark, n: int = 64, seed: int = 5) -> DataFrame:
-    """Deterministic synthetic media table: VALID wav + ppm payloads (the
-    real decoders parse them), pseudo-random bytes for video."""
+    """Deterministic synthetic media table: VALID wav + ppm + y4m payloads —
+    all three modalities parse through the REAL decoders."""
     rng = np.random.default_rng(seed)
     rows = []
     kinds = ["image", "audio", "video"]
@@ -127,8 +202,8 @@ def synth_media(spark, n: int = 64, seed: int = 5) -> DataFrame:
             payload = _make_wav(np.sin(2 * np.pi * (200 + 10 * i) * t).astype(np.float32))
             meta = (None, None, 16000, None)
         else:
-            payload = bytes(rng.integers(0, 256, 128, dtype=np.uint8))
-            meta = (64, 48, None, 30)
+            payload = _make_y4m(rng)
+            meta = (8, 8, None, 4)
         rows.append((f"m-{i:06d}", kind, payload, meta))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
@@ -191,11 +266,51 @@ def read_binary_dir(spark, path: str, pattern: str = "*.bin") -> DataFrame:
 
 def frame_sample(media: DataFrame, every: int = 10) -> DataFrame:
     """Video frame sampling plumbing: one output row per sampled frame index
-    (the decode of the actual frame bytes is the FAKE_DECODE stub)."""
+    (metadata-driven; pair with `frame_features` for real decoded frames)."""
     v = media.filter(F.col("kind") == "video")
     return v.select(
         "media_id",
         F.explode(F.sequence(F.lit(0), F.col("meta.n_frames") - 1, F.lit(every))).alias("frame_idx"),
+    )
+
+
+def frame_features(media: DataFrame, every: int = 1) -> DataFrame:
+    """REAL per-frame video features: decode each Y4M stream once per Arrow
+    batch, then emit (media_id, frame_idx, mean_luma, std_luma) for every
+    ``every``-th frame — the frame-sampling step of a multimodal training
+    pipeline with the decode actually performed (no stub on this path)."""
+
+    def op(it):
+        for pdf in it:
+            out = {"media_id": [], "frame_idx": [], "mean_luma": [], "std_luma": []}
+            for media_id, kind, payload in zip(pdf["media_id"], pdf["kind"], pdf["payload"]):
+                if kind != "video":
+                    continue
+                b = bytes(payload)
+                if not b.startswith(b"YUV4MPEG2"):
+                    continue  # compressed codecs have no real decoder here
+                nl = b.find(b"\n")
+                w = h = 0
+                for tok in b[:nl].split(b" ")[1:]:
+                    if tok[:1] == b"W":
+                        w = int(tok[1:])
+                    elif tok[:1] == b"H":
+                        h = int(tok[1:])
+                # stats from the EXACT integer plane bytes (float64 ops in a
+                # fixed order: sum -> /n -> /255), so a SQL oracle summing
+                # the same bytes lands on the identical double
+                fb = w * h + 2 * ((w // 2) * (h // 2))
+                raw = y4m_frames_raw(b).reshape(-1, fb)
+                for idx in range(0, raw.shape[0], every):
+                    ints = raw[idx, : w * h].astype(np.int64)
+                    out["media_id"].append(media_id)
+                    out["frame_idx"].append(idx)
+                    out["mean_luma"].append(float(ints.sum()) / (w * h) / 255.0)
+                    out["std_luma"].append(float(ints.astype(np.float64).std()) / 255.0)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        op, "media_id string, frame_idx long, mean_luma double, std_luma double"
     )
 
 
@@ -307,8 +422,11 @@ def audio_features(media: DataFrame) -> DataFrame:
 
 DOC_IMG_W, DOC_IMG_H = 16, 12  # 576 body bytes = 36 md5 chains
 DOC_AUDIO_N = 256  # PCM16 samples = 512 bytes = 32 chains
-DOC_VIDEO_CHAINS = 8  # 128 opaque bytes
+DOC_VID_W, DOC_VID_H, DOC_VID_FRAMES = 8, 8, 2  # C420: 96 plane bytes/frame
+DOC_VIDEO_CHAINS = DOC_VID_FRAMES * (DOC_VID_W * DOC_VID_H * 3 // 2) // 16  # 12
 DOC_PPM_HEADER = b"P6\n%d %d\n255\n" % (DOC_IMG_W, DOC_IMG_H)
+DOC_Y4M_HEADER = b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C420\n" % (DOC_VID_W, DOC_VID_H)
+DOC_Y4M_FRAME = b"FRAME\n"
 
 
 def _wav_header(n_samples: int = DOC_AUDIO_N, rate: int = 16000) -> bytes:
@@ -332,34 +450,41 @@ def _chain_hex(seed, kind: str, n_chains: int) -> F.Column:
 
 def media_from_docs(docs: DataFrame, n: int = 64) -> DataFrame:
     """MEDIA_SCHEMA table whose payload bytes derive from md5(text) chains:
-    doc_id % 3 picks the modality; image/audio get REAL decodable headers
-    (P6 PPM, 44-byte PCM16 WAV) ahead of the chain bytes. All construction
-    is codegen'd string/binary expressions — no UDF, no driver state."""
+    doc_id % 3 picks the modality; ALL THREE kinds get REAL decodable
+    containers (P6 PPM, 44-byte PCM16 WAV, Y4M with per-frame markers
+    interleaved between the chain planes). All construction is codegen'd
+    string/binary expressions — no UDF, no driver state."""
     d = docs.filter(F.col("doc_id") < n).select(
         F.col("doc_id"), F.md5(F.col("text").cast("binary")).alias("seed")
     )
     m3 = F.col("doc_id") % 3
     kind = F.when(m3 == 0, F.lit("image")).when(m3 == 1, F.lit("audio")).otherwise(F.lit("video"))
-    body = (
-        F.when(m3 == 0, _chain_hex(F.col("seed"), "image", DOC_IMG_W * DOC_IMG_H * 3 // 16))
-        .when(m3 == 1, _chain_hex(F.col("seed"), "audio", DOC_AUDIO_N * 2 // 16))
-        .otherwise(_chain_hex(F.col("seed"), "video", DOC_VIDEO_CHAINS))
+    vid_chains = _chain_hex(F.col("seed"), "video", DOC_VIDEO_CHAINS)
+    fhex = DOC_VID_W * DOC_VID_H * 3 // 2 * 2  # hex chars per frame's planes
+    video_hex = F.concat(
+        F.lit(DOC_Y4M_HEADER.hex()),
+        *[
+            F.concat(F.lit(DOC_Y4M_FRAME.hex()), F.substring(vid_chains, fr * fhex + 1, fhex))
+            for fr in range(DOC_VID_FRAMES)
+        ],
     )
-    header = (
-        F.when(m3 == 0, F.lit(DOC_PPM_HEADER.hex()))
-        .when(m3 == 1, F.lit(DOC_WAV_HEADER.hex()))
-        .otherwise(F.lit(""))
+    payload_hex = (
+        F.when(m3 == 0, F.concat(F.lit(DOC_PPM_HEADER.hex()),
+                                 _chain_hex(F.col("seed"), "image", DOC_IMG_W * DOC_IMG_H * 3 // 16)))
+        .when(m3 == 1, F.concat(F.lit(DOC_WAV_HEADER.hex()),
+                                _chain_hex(F.col("seed"), "audio", DOC_AUDIO_N * 2 // 16)))
+        .otherwise(video_hex)
     )
     meta = F.struct(
-        F.when(m3 == 0, F.lit(DOC_IMG_W)).cast("int").alias("width"),
-        F.when(m3 == 0, F.lit(DOC_IMG_H)).cast("int").alias("height"),
+        F.when(m3 == 0, F.lit(DOC_IMG_W)).when(m3 == 2, F.lit(DOC_VID_W)).cast("int").alias("width"),
+        F.when(m3 == 0, F.lit(DOC_IMG_H)).when(m3 == 2, F.lit(DOC_VID_H)).cast("int").alias("height"),
         F.when(m3 == 1, F.lit(16000)).cast("int").alias("sample_rate"),
-        F.lit(None).cast("int").alias("n_frames"),
+        F.when(m3 == 2, F.lit(DOC_VID_FRAMES)).cast("int").alias("n_frames"),
     )
     return d.select(
         F.col("doc_id").cast("string").alias("media_id"),
         kind.alias("kind"),
-        F.unhex(F.concat(header, body)).alias("payload"),
+        F.unhex(payload_hex).alias("payload"),
         meta.alias("meta"),
     )
 
@@ -387,7 +512,11 @@ def media_oracle_features(media: DataFrame) -> DataFrame:
                     raw = decode_wav(b)
                     ints = np.rint(raw.astype(np.float64) * 32768.0).astype(np.int64)
                     bsum, ns = int(ints.sum()), len(ints)
-                else:
+                elif b.startswith(b"YUV4MPEG2"):
+                    # REAL container parse: sum of every decoded plane byte
+                    planes = y4m_frames_raw(b)
+                    bsum, ns = int(planes.astype(np.int64).sum()), len(planes)
+                else:  # opaque (compressed-codec) video: raw byte checksum
                     bsum, ns = int(np.frombuffer(b, dtype=np.uint8).sum()), None
                 out["media_id"].append(media_id)
                 out["kind"].append(kind)

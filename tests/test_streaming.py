@@ -70,8 +70,8 @@ def test_multimodal_plumbing(spark):
     m = feats.sort_values("media_id").reset_index(drop=True)
     m2 = feats2.sort_values("media_id").reset_index(drop=True)
     assert (m["payload_sha"] == m2["payload_sha"]).all()
-    fs = frame_sample(media, every=10).toPandas()
-    assert set(fs["frame_idx"]) == {0, 10, 20}  # n_frames=30
+    fs = frame_sample(media, every=2).toPandas()
+    assert set(fs["frame_idx"]) == {0, 2}  # synth y4m has n_frames=4
 
 
 def test_streaming_cascade_matches_batch(spark, tmp_path):
@@ -308,6 +308,8 @@ def test_media_from_docs_oracle_roundtrip(spark):
     from covsar_spark.operators.multimodal import (
         DOC_PPM_HEADER,
         DOC_WAV_HEADER,
+        DOC_Y4M_FRAME,
+        DOC_Y4M_HEADER,
         media_from_docs,
         media_oracle_features,
     )
@@ -320,19 +322,82 @@ def test_media_from_docs_oracle_roundtrip(spark):
     for r in out.itertuples():
         doc_id = int(r.media_id)
         seed = hashlib.md5(texts[doc_id].encode()).hexdigest()
-        n_chains = {"image": 36, "audio": 32, "video": 8}[r.kind]
+        n_chains = {"image": 36, "audio": 32, "video": 12}[r.kind]
         hexbody = "".join(
             hashlib.md5(f"{seed}:{r.kind}:{j}".encode()).hexdigest() for j in range(n_chains)
         )
-        header = {"image": DOC_PPM_HEADER, "audio": DOC_WAV_HEADER, "video": b""}[r.kind]
-        payload = header + bytes.fromhex(hexbody)
+        chains = bytes.fromhex(hexbody)
+        if r.kind == "video":
+            # Y4M: markers interleaved between the two frames' chain planes
+            payload = (DOC_Y4M_HEADER + DOC_Y4M_FRAME + chains[:96]
+                       + DOC_Y4M_FRAME + chains[96:])
+        else:
+            header = {"image": DOC_PPM_HEADER, "audio": DOC_WAV_HEADER}[r.kind]
+            payload = header + chains
         assert r.n_bytes == len(payload)
         assert r.payload_sha == hashlib.sha256(payload.hex().encode()).hexdigest()
-        body = np.frombuffer(bytes.fromhex(hexbody), dtype=np.uint8)
+        body = np.frombuffer(chains, dtype=np.uint8)
         if r.kind == "audio":
             want = int(np.frombuffer(body.tobytes(), dtype="<i2").astype(np.int64).sum())
             assert int(r.n_samples) == 256
         else:
             want = int(body.astype(np.int64).sum())
-            assert (int(r.n_samples) == 576) if r.kind == "image" else (r.n_samples is None or np.isnan(r.n_samples))
+            assert int(r.n_samples) == {"image": 576, "video": 192}[r.kind]
         assert int(r.byte_sum) == want
+
+
+def test_decode_y4m_real():
+    """Y4M container decode is REAL: planted plane bytes come back exactly,
+    frame count and luma/chroma split are honored, malformed streams fail."""
+    import numpy as np
+    import pytest
+
+    from covsar_spark.operators.multimodal import decode_y4m, y4m_frames_raw
+
+    w, h = 4, 2
+    y0 = np.arange(8, dtype=np.uint8)          # frame 0 luma
+    uv0 = np.array([200, 201, 210, 211], np.uint8)  # 2x1 U + 2x1 V
+    y1 = np.arange(100, 108, dtype=np.uint8)
+    uv1 = np.array([10, 11, 20, 21], np.uint8)
+    payload = (b"YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C420\n"
+               + b"FRAME\n" + y0.tobytes() + uv0.tobytes()
+               + b"FRAME\n" + y1.tobytes() + uv1.tobytes())
+    lum = decode_y4m(payload)
+    assert lum.shape == (16,)  # 2 frames x 4x2 luma
+    np.testing.assert_array_equal((lum * 255).astype(np.uint8), np.concatenate([y0, y1]))
+    raw = y4m_frames_raw(payload)
+    np.testing.assert_array_equal(raw, np.concatenate([y0, uv0, y1, uv1]))
+    with pytest.raises(ValueError, match="Y4M"):
+        decode_y4m(b"RIFFxxxx")
+    with pytest.raises(ValueError, match="C420"):
+        decode_y4m(b"YUV4MPEG2 W4 H2 C444\nFRAME\n" + bytes(24))
+    with pytest.raises(ValueError, match="FRAME"):
+        decode_y4m(b"YUV4MPEG2 W4 H2 C420\nJUNK!\n" + bytes(12))
+
+
+def test_frame_features_real_decode(spark):
+    """frame_features decodes Y4M for REAL: per-frame mean luma equals a
+    direct numpy computation on the planted plane bytes."""
+    import numpy as np
+    import pandas as pd
+
+    from covsar_spark.operators.multimodal import MEDIA_SCHEMA, frame_features
+
+    w, h = 4, 2
+    y0 = np.arange(8, dtype=np.uint8)
+    y1 = np.arange(100, 108, dtype=np.uint8)
+    uv = bytes(4)
+    payload = (b"YUV4MPEG2 W4 H2 F25:1 Ip A1:1 C420\n"
+               + b"FRAME\n" + y0.tobytes() + uv + b"FRAME\n" + y1.tobytes() + uv)
+    media = spark.createDataFrame(
+        [("v-0", "video", payload, (w, h, None, 2)),
+         ("a-0", "audio", b"not-video", (None, None, 16000, None))],
+        MEDIA_SCHEMA,
+    )
+    got = frame_features(media).toPandas().sort_values("frame_idx")
+    assert list(got["media_id"]) == ["v-0", "v-0"]
+    np.testing.assert_allclose(
+        got["mean_luma"].to_numpy(),
+        [y0.mean() / 255.0, y1.mean() / 255.0],
+        atol=1e-6,
+    )
