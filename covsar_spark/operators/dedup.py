@@ -60,9 +60,14 @@ def jaccard_pairs(docs: DataFrame, k: int = 3, threshold: float = 0.5) -> DataFr
     """
     sh = shingles(docs, k)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # the inverted-index self-join keys on the 60-bit shingle hash, not the
+    # string: the join shuffle carries 8-byte keys (~5x fewer bytes for
+    # 3-gram shingles) and the hash-join probe compares ints. Cross-shingle
+    # collisions ~(D^2)/2^61 — negligible (same trade as boilerplate_ngrams).
+    hs = sh.select("doc_id", md5_int60(F.col("shingle")).alias("h"))
+    a, b = hs.alias("a"), hs.alias("b")
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
     )

@@ -177,3 +177,92 @@ def test_emi_invariants(p, seed):
     M = np.linalg.inv(np.abs(C)) * C
     w = np.linalg.eigvalsh(M)
     assert abs(lam - w[0]) < 1e-6 * max(1.0, abs(w[0]))
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.integers(min_value=2, max_value=60),
+    st.integers(min_value=0, max_value=10**6),
+    st.floats(min_value=-1.9, max_value=1.9, allow_nan=False),
+    st.floats(min_value=0.0, max_value=1.0, allow_nan=False),
+)
+def test_nlfit_batch_equals_loop_any_input(n, seed, s_true, sigma):
+    """nl_fit_stack on arbitrary simulated inputs always equals the direct
+    per-series transcription of the reference equations (grid argmin + GN
+    with J = x), including non-convergent and wrapped regimes."""
+    from covsar_spark.operators.nlfit import nl_fit_stack, nl_phase_fit
+
+    rng = np.random.default_rng(seed)
+    x = rng.normal(0, 2, n)
+    ph = np.exp(1j * (x * s_true + rng.normal(0, sigma, n)))
+    sg_b, sf_b, ni_b, rl_b = nl_fit_stack(ph[None, :], x[None, :])
+    # independent scalar re-derivation of the same equations
+    grid = np.linspace(-2.0, 2.0, 5)
+    l1 = [np.abs(np.angle(np.exp(1j * g * x) * np.conj(ph))).sum() for g in grid]
+    m = grid[int(np.argmin(l1))]
+    assert sg_b[0] == m
+    xx = float(x @ x)
+    if xx > 1e-12:
+        for _ in range(50):
+            r = np.angle(np.exp(1j * m * x) * np.conj(ph))
+            m_new = m - float(x @ r) / xx
+            conv = abs(m_new) > 1e-12 and abs((m_new - m) / m_new) < 1e-3
+            m = m_new
+            if conv:
+                break
+    np.testing.assert_allclose(sf_b[0], m, rtol=0, atol=1e-12)
+    sg1, sf1, ni1, rl1 = nl_phase_fit(ph, x)
+    assert (sg1, sf1, ni1, rl1) == (sg_b[0], sf_b[0], ni_b[0], rl_b[0])
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=1, max_value=24),
+    st.integers(min_value=0, max_value=10**6),
+)
+def test_resize_ppm_equals_loop_any_dims(w, h, ow, oh, seed):
+    """Vectorized reduceat resample == per-pixel loop for ANY in/out dims
+    (down, up, mixed, degenerate 1-pixel axes)."""
+    from covsar_spark.operators.multimodal import decode_ppm, resize_ppm
+
+    rng = np.random.default_rng(seed)
+    payload = b"P6\n%d %d\n255\n" % (w, h) + rng.integers(
+        0, 256, w * h * 3, dtype=np.uint8
+    ).tobytes()
+    got = decode_ppm(resize_ppm(payload, ow, oh)).reshape(oh, ow, 3)
+    pix = np.frombuffer(payload.split(b"\n", 3)[3], dtype=np.uint8, count=w * h * 3).reshape(h, w, 3)
+    ys = (np.arange(oh + 1) * h) // oh
+    xs = (np.arange(ow + 1) * w) // ow
+    want = np.empty((oh, ow, 3), dtype=np.uint8)
+    for oy in range(oh):
+        y0, y1 = ys[oy], max(ys[oy + 1], ys[oy] + 1)
+        for ox in range(ow):
+            x0, x1 = xs[ox], max(xs[ox + 1], xs[ox] + 1)
+            want[oy, ox] = pix[y0:y1, x0:x1].reshape(-1, 3).mean(axis=0).round()
+    np.testing.assert_array_equal((got * 255).round().astype(np.uint8), want)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=1, max_value=5),
+    st.integers(min_value=0, max_value=10**6),
+)
+def test_y4m_roundtrip_any_geometry(half_w, n_frames, seed):
+    """Y4M encode->decode recovers every planted luma byte for any even
+    width/height and frame count."""
+    from covsar_spark.operators.multimodal import decode_y4m
+
+    rng = np.random.default_rng(seed)
+    w, h = 2 * half_w, 2 * ((seed % 3) + 1)
+    fb = w * h + 2 * ((w // 2) * (h // 2))
+    frames = [rng.integers(0, 256, fb, dtype=np.uint8) for _ in range(n_frames)]
+    payload = b"YUV4MPEG2 W%d H%d F25:1 Ip A1:1 C420\n" % (w, h) + b"".join(
+        b"FRAME\n" + f.tobytes() for f in frames
+    )
+    lum = decode_y4m(payload)
+    want = np.concatenate([f[: w * h] for f in frames])
+    np.testing.assert_array_equal((lum * 255).astype(np.uint8), want)
