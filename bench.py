@@ -90,6 +90,8 @@ BENCH_QUERIES = [
     "ann_lsh_topk",
     "multimodal_features",
     "multimodal_frames",
+    "multimodal_resize",
+    "multimodal_audio_stats",
     "compress_chunks",
     "codec_roundtrip",
 ]

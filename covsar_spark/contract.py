@@ -1891,16 +1891,105 @@ def multimodal_features(spark, sf_dir):
     return media_oracle_features(media_from_docs(docs))
 
 
-@register("multimodal_resize")
-def multimodal_resize(spark, sf_dir):
-    """REAL numpy PPM resize over the opaque-binary column (box-average
-    resample, re-encoded P6); non-image payloads pass through byte-identical.
-    Rows-only (binary decode has no SQL oracle); pinned by pixel-exact numpy
-    goldens in tests/test_streaming.py::test_resize_images_real."""
-    from .operators.multimodal import resize_images, synth_media
+def _resize_oracle_sql() -> str:
+    """DuckDB rebuilds the RESIZED P6 byte-for-byte: 2x2 box sums over the
+    md5-chain pixel bytes, numpy's banker's rounding expressed as integer
+    arithmetic (frac .5 <=> s%4=2 -> round to even), re-hexed with printf."""
+    from .operators.multimodal import DOC_IMG_W
 
-    out = resize_images(synth_media(spark, n=64), out_w=8, out_h=6)
-    return out.select("media_id", "kind", "width", "height", F.length("payload").alias("n_bytes"))
+    out_header_hex = b"P6\n8 6\n255\n".hex()
+    return f"""
+    WITH d AS (SELECT doc_id, md5(text) AS seed FROM documents
+               WHERE doc_id < 64 AND doc_id % 3 = 0),
+    body AS (SELECT doc_id,
+                    string_agg(md5(seed || ':image:' || j::VARCHAR), '' ORDER BY j) AS hexbody
+             FROM (SELECT doc_id, seed, unnest(generate_series(0, 35)) AS j FROM d)
+             GROUP BY 1),
+    px AS (SELECT doc_id, oy, ox, c,
+                  sum(('0x' || substr(hexbody,
+                        (((2 * oy + dy) * {DOC_IMG_W} + (2 * ox + dx)) * 3 + c) * 2 + 1,
+                        2))::BIGINT)::BIGINT AS s
+           FROM (SELECT doc_id, hexbody,
+                        unnest(generate_series(0, 5)) AS oy FROM body),
+                generate_series(0, 7) gx(ox), generate_series(0, 2) gc(c),
+                generate_series(0, 1) gy(dy), generate_series(0, 1) gdx(dx)
+           GROUP BY 1, 2, 3, 4),
+    rb AS (SELECT doc_id, oy, ox, c,
+                  (s // 4) + (CASE WHEN s % 4 = 3 THEN 1
+                                   WHEN s % 4 = 2 AND (s // 4) % 2 = 1 THEN 1
+                                   ELSE 0 END) AS b
+           FROM px),
+    hexout AS (SELECT doc_id,
+                      string_agg(printf('%02x', b), '' ORDER BY oy, ox, c) AS hexpix
+               FROM rb GROUP BY 1)
+    SELECT doc_id::VARCHAR AS media_id, 8 AS width, 6 AS height,
+           (len('{out_header_hex}' || hexpix) // 2)::BIGINT AS n_bytes,
+           sha256('{out_header_hex}' || hexpix) AS payload_sha
+    FROM hexout
+    """
+
+
+@register("multimodal_resize", _resize_oracle_sql())
+def multimodal_resize(spark, sf_dir):
+    """REAL numpy PPM resize with an EXACT oracle (r4 — was rows-only):
+    docs-derived md5-chain images are box-average resampled 16x12 -> 8x6 and
+    re-encoded; DuckDB rebuilds the resized payload byte-for-byte (integer
+    box sums + banker's rounding in SQL) and the sha256-of-hex must match.
+    Pass-through of non-image payloads stays pinned by
+    tests/test_streaming.py::test_resize_images_real."""
+    from .operators.multimodal import media_from_docs, resize_images
+
+    media = media_from_docs(_read(spark, sf_dir, "documents")).filter(F.col("kind") == "image")
+    out = resize_images(media, out_w=8, out_h=6)
+    return out.select(
+        "media_id",
+        F.col("width").cast("int").alias("width"),
+        F.col("height").cast("int").alias("height"),
+        F.length("payload").cast("long").alias("n_bytes"),
+        F.sha2(F.lower(F.hex(F.col("payload"))), 256).alias("payload_sha"),
+    )
+
+
+@register(
+    "multimodal_audio_stats",
+    """
+    WITH d AS (SELECT doc_id, md5(text) AS seed FROM documents
+               WHERE doc_id < 64 AND doc_id % 3 = 1),
+    body AS (SELECT doc_id,
+                    string_agg(md5(seed || ':audio:' || j::VARCHAR), '' ORDER BY j) AS hexbody
+             FROM (SELECT doc_id, seed, unnest(generate_series(0, 31)) AS j FROM d)
+             GROUP BY 1),
+    smp AS (SELECT doc_id, i,
+                   CASE WHEN v >= 32768 THEN v - 65536 ELSE v END AS s
+            FROM (SELECT doc_id, i,
+                         ('0x' || substr(hexbody, i * 4 + 3, 2))::BIGINT * 256
+                       + ('0x' || substr(hexbody, i * 4 + 1, 2))::BIGINT AS v
+                  FROM (SELECT doc_id, hexbody,
+                               unnest(generate_series(0, 255)) AS i FROM body))),
+    flags AS (SELECT doc_id, s,
+                     lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS sp
+              FROM smp),
+    agg AS (SELECT doc_id, sum(s * s)::BIGINT AS sum_sq,
+                   sum(CASE WHEN sp IS NOT NULL AND ((s < 0) <> (sp < 0))
+                            THEN 1 ELSE 0 END)::BIGINT AS zc,
+                   count(*)::BIGINT AS n
+            FROM flags GROUP BY 1)
+    SELECT doc_id::VARCHAR AS media_id, n AS n_samples,
+           sqrt(sum_sq / 256.0) / 32768.0 AS rms,
+           zc / 255.0 AS zcr
+    FROM agg
+    """,
+)
+def multimodal_audio_stats(spark, sf_dir):
+    """REAL WAV decode with an EXACT oracle: RMS and zero-crossing rate of
+    docs-derived PCM16 streams, computed from the recovered integer samples
+    in a fixed float64 op order (operators/multimodal.audio_stats) so the
+    unrounded doubles hash-match DuckDB's recomputation from the same md5
+    chains. The float32 DSP surface (spectral centroid) stays pinned by the
+    pure-tone golden in tests/test_streaming.py."""
+    from .operators.multimodal import audio_stats, media_from_docs
+
+    return audio_stats(media_from_docs(_read(spark, sf_dir, "documents")))
 
 
 @register("multimodal_audio")
@@ -2172,6 +2261,8 @@ DRIVER_PRIORITY = [
     "ann_ivf_topk",          # r4: exact md5-centroid oracle (was rows-only)
     "near_dup_lsh",          # r4: exact md5-plane candidate oracle (was rows-only)
     "multimodal_frames",     # r4: REAL Y4M per-frame decode, exact oracle
+    "multimodal_resize",     # r4: resized P6 rebuilt byte-for-byte in SQL
+    "multimodal_audio_stats",  # r4: exact int-derived RMS/ZCR oracle
     # new round-3 oracle entries — no driver row yet
     "gapfill_cross_1m",
     "lc_window_stats",
@@ -2206,12 +2297,17 @@ DRIVER_PRIORITY = [
 # and running_product.
 # vocab_topk joins unigram_logprob/token_packing in the demoted set (r4):
 # its explode + partial-agg + global-topk signal is in-cap via
-# tfidf_topterms and boilerplate_ngrams.
+# tfidf_topterms and boilerplate_ngrams. lang_id and fingerprint (green
+# driver rows since r1) follow for the r4 multimodal oracle graduations:
+# their codegen'd text-scalar signal stays in-cap via repetition_stats,
+# tfidf_topterms, and the md5-hash paths of dedup_exact/minhash_signatures.
 DRIVER_DEMOTED = [
     "ann_cosine_topk",
     "unigram_logprob",
     "token_packing",
     "vocab_topk",
+    "lang_id",
+    "fingerprint",
     "topk_per_group",
     "word_stats",
     "value_histogram",

@@ -533,3 +533,32 @@ def media_oracle_features(media: DataFrame) -> DataFrame:
         "media_id string, kind string, n_bytes long, payload_sha string, "
         "byte_sum long, n_samples long",
     )
+
+
+def audio_stats(media: DataFrame) -> DataFrame:
+    """REAL WAV decode -> EXACTLY-replayable stats: RMS and zero-crossing
+    rate computed from the recovered integer PCM16 samples in a fixed
+    float64 op order (sum_sq -> /n -> sqrt -> /32768), so a SQL oracle
+    summing the same samples lands on the bit-identical double. The
+    float32 DSP path (spectral centroid etc.) stays in `audio_features`."""
+
+    def op(it):
+        for pdf in it:
+            out = {"media_id": [], "n_samples": [], "rms": [], "zcr": []}
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                x = decode_wav(bytes(payload))
+                s = np.rint(x.astype(np.float64) * 32768.0).astype(np.int64)
+                n = len(s)
+                sum_sq = int((s * s).sum())
+                rms = (sum_sq / n) ** 0.5 / 32768.0 if n else 0.0
+                neg = s < 0
+                zc = int((neg[1:] != neg[:-1]).sum())
+                out["media_id"].append(media_id)
+                out["n_samples"].append(n)
+                out["rms"].append(rms)
+                out["zcr"].append(zc / (n - 1) if n > 1 else 0.0)
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        op, "media_id string, n_samples long, rms double, zcr double"
+    )

@@ -47,11 +47,11 @@ def test_every_query_has_oracle_or_is_known_rows_only():
         "eigen_complex_1m",
         "compress_chunks",
         "nl_phase_fit_1m",
-        "multimodal_resize",
         "multimodal_audio",
-        # ann_lsh_topk, ann_ivf_topk, near_dup_lsh, and multimodal_features
-        # graduated to exact oracles in round 4 (md5-derived integer
-        # planes/centroids, docs-derived md5-chain media)
+        # ann_lsh_topk, ann_ivf_topk, near_dup_lsh, multimodal_features,
+        # multimodal_resize (+ new multimodal_frames/audio_stats) graduated
+        # to exact oracles in round 4 (md5-derived integer planes/centroids,
+        # docs-derived md5-chain media, SQL banker's-rounding resize rebuild)
     }
     rows_only = {n for n in contract.QUERIES if n not in contract.ORACLE}
     assert rows_only == known_rows_only, rows_only ^ known_rows_only
