@@ -54,7 +54,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.stats import chi2_sf
-from ..schemas import EIGEN_SPAN
+from .spanbucket import with_span_bucket
 
 MAX_EPOCHS = 20  # files[:20] analogue (covsar/closure_inten.py:73)
 
@@ -298,11 +298,8 @@ def closure_correct(
     batch). ``emit_pairs=False`` keeps the P-sized arrays out of the Arrow
     return path when only the stats are consumed (~190 doubles x 3 per span
     saved)."""
-    span = EIGEN_SPAN[tier]
-    with_span = (
-        rollup.withColumn("span_s", (F.floor(F.col("epoch_s") / span) * span).cast("long"))
-        .withColumn("_bkt", F.floor(F.floor(F.col("span_s") / span) / spans_per_bucket))
-        .select("source", "_bkt", "span_s", "epoch_s", F.col(value_col).cast("double").alias("val"))
+    with_span = with_span_bucket(
+        rollup, tier, spans_per_bucket, F.col(value_col).cast("double").alias("val")
     )
     schema = _SPAN_SCHEMA if emit_pairs else _STATS_SCHEMA
 

@@ -20,7 +20,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..schemas import CHUNK_SCHEMA, EIGEN_SPAN
+from ..schemas import CHUNK_SCHEMA
+from .spanbucket import with_span_bucket
 from .codecs import decode_dod, decode_xor, encode_dod, encode_xor
 
 
@@ -33,13 +34,9 @@ def compress_rollup(
     carries many spans; the kernel splits locally (same shape as the eigen
     kernel — per-span groups are too small to amortize UDF overhead).
     """
-    span = EIGEN_SPAN[tier]
-    with_span = rollup.select(
-        "source",
-        (F.floor(F.col("epoch_s") / span) * span).cast("long").alias("span_s"),
-        "epoch_s",
-        F.col(value_col).cast("double").alias("val"),
-    ).withColumn("_bkt", F.floor(F.floor(F.col("span_s") / span) / spans_per_bucket))
+    with_span = with_span_bucket(
+        rollup, tier, spans_per_bucket, F.col(value_col).cast("double").alias("val")
+    )
 
     def enc(pdf: pd.DataFrame) -> pd.DataFrame:
         rows = []

@@ -31,7 +31,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..schemas import EIGEN_P, EIGEN_SCHEMA, EIGEN_SPAN
+from ..schemas import EIGEN_P, EIGEN_SCHEMA
+from .spanbucket import with_span_bucket
 
 _GAUGE_EPS = 1e-12
 
@@ -236,11 +237,8 @@ def eigen_rollup(
     """
     if method not in ("evd", "mle"):
         raise ValueError(f"method must be 'evd' or 'mle', got {method!r}")
-    span = EIGEN_SPAN[tier]
-    with_span = (
-        rollup.withColumn("span_s", (F.floor(F.col("epoch_s") / span) * span).cast("long"))
-        .withColumn("_bkt", F.floor(F.floor(F.col("span_s") / span) / spans_per_bucket))
-        .select("source", "_bkt", "span_s", "epoch_s", F.col(value_col).cast("double").alias("val"))
+    with_span = with_span_bucket(
+        rollup, tier, spans_per_bucket, F.col(value_col).cast("double").alias("val")
     )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -343,15 +341,10 @@ def eigen_complex_rollup(
 ) -> DataFrame:
     """Per-(source, span) complex phase linking over (re, im) columns — the
     same single-shuffle span-bucketed plan as the real `eigen_rollup`."""
-    span = EIGEN_SPAN[tier]
-    with_span = (
-        rollup.withColumn("span_s", (F.floor(F.col("epoch_s") / span) * span).cast("long"))
-        .withColumn("_bkt", F.floor(F.floor(F.col("span_s") / span) / spans_per_bucket))
-        .select(
-            "source", "_bkt", "span_s", "epoch_s",
-            F.col(re_col).cast("double").alias("re"),
-            F.col(im_col).cast("double").alias("im"),
-        )
+    with_span = with_span_bucket(
+        rollup, tier, spans_per_bucket,
+        F.col(re_col).cast("double").alias("re"),
+        F.col(im_col).cast("double").alias("im"),
     )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import hashlib
 import io
+import math
 import wave
 
 import numpy as np
@@ -117,8 +118,13 @@ def decode_y4m(payload: bytes) -> np.ndarray:
 
 def y4m_frames_raw(payload: bytes) -> np.ndarray:
     """All raw plane bytes (Y+U+V, every frame) of a Y4M stream as uint8 —
-    the checksum view the SQL oracle can recompute from the md5 chains."""
+    the checksum view the SQL oracle can recompute from the md5 chains.
+    Validates the same invariants as `decode_y4m` (header W/H, FRAME
+    markers, full frames) so a corrupted stream raises instead of yielding
+    silently wrong checksum bytes."""
     nl = payload.find(b"\n")
+    if nl < 0 or not payload.startswith(b"YUV4MPEG2"):
+        raise ValueError("not a Y4M stream")
     parts = []
     pos = nl + 1
     w = h = 0
@@ -127,9 +133,15 @@ def y4m_frames_raw(payload: bytes) -> np.ndarray:
             w = int(tok[1:])
         elif tok[:1] == b"H":
             h = int(tok[1:])
+    if not w or not h:
+        raise ValueError("Y4M header missing W/H")
     frame_bytes = w * h + 2 * ((w // 2) * (h // 2))
     while pos < len(payload):
         fnl = payload.find(b"\n", pos)
+        if fnl < 0 or not payload[pos:fnl].startswith(b"FRAME"):
+            raise ValueError("bad FRAME marker")
+        if len(payload) - (fnl + 1) < frame_bytes:
+            raise ValueError("truncated Y4M frame")
         parts.append(np.frombuffer(payload, dtype=np.uint8, count=frame_bytes, offset=fnl + 1))
         pos = fnl + 1 + frame_bytes
     return np.concatenate(parts) if parts else np.zeros(0, np.uint8)
@@ -299,8 +311,13 @@ def frame_features(media: DataFrame, every: int = 1) -> DataFrame:
                 # stats from the EXACT integer plane bytes (float64 ops in a
                 # fixed order: sum -> /n -> /255), so a SQL oracle summing
                 # the same bytes lands on the identical double
-                fb = w * h + 2 * ((w // 2) * (h // 2))
-                raw = y4m_frames_raw(b).reshape(-1, fb)
+                try:
+                    fb = w * h + 2 * ((w // 2) * (h // 2))
+                    raw = y4m_frames_raw(b).reshape(-1, fb)
+                except ValueError:
+                    continue  # malformed/truncated stream: skip the row,
+                    # consistent with the compressed-codec skip above —
+                    # never fail the whole job on one bad payload
                 for idx in range(0, raw.shape[0], every):
                     ints = raw[idx, : w * h].astype(np.int64)
                     out["media_id"].append(media_id)
@@ -550,7 +567,10 @@ def audio_stats(media: DataFrame) -> DataFrame:
                 s = np.rint(x.astype(np.float64) * 32768.0).astype(np.int64)
                 n = len(s)
                 sum_sq = int((s * s).sum())
-                rms = (sum_sq / n) ** 0.5 / 32768.0 if n else 0.0
+                # math.sqrt, NOT ** 0.5: libm pow(x, 0.5) is not correctly
+                # rounded and diverges from DuckDB's sqrt() in the last ulp
+                # for ~0.09% of inputs — which the bit-exact gate would see
+                rms = math.sqrt(sum_sq / n) / 32768.0 if n else 0.0
                 neg = s < 0
                 zc = int((neg[1:] != neg[:-1]).sum())
                 out["media_id"].append(media_id)

@@ -30,7 +30,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..schemas import EIGEN_SPAN
+from .spanbucket import with_span_bucket
 
 _EPS = 1e-12
 
@@ -115,11 +115,8 @@ def nlfit_rollup(
     ``max_epochs`` epochs (C(12,2)=66 pairs) exactly like the reference's
     per-pixel stack cap.
     """
-    span = EIGEN_SPAN[tier]
-    with_span = (
-        rollup.withColumn("span_s", (F.floor(F.col("epoch_s") / span) * span).cast("long"))
-        .withColumn("_bkt", F.floor(F.floor(F.col("span_s") / span) / spans_per_bucket))
-        .select("source", "_bkt", "span_s", "epoch_s", F.col(value_col).cast("double").alias("val"))
+    with_span = with_span_bucket(
+        rollup, tier, spans_per_bucket, F.col(value_col).cast("double").alias("val")
     )
 
     def kernel(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -91,9 +91,6 @@ def cosine_topk(emb: DataFrame, n_queries: int = 5, k: int = 10) -> DataFrame:
 PLANE_SCALE = 1000  # integer coefficients in [-1000, 1000]
 QUANT = 1_000_000.0  # embedding quantization: q[d] = floor(x[d] * 1e6)
 
-# near_dup_pairs auto-blocking memo: {semanticHash(plan) -> n_blocks}
-_BLOCK_CACHE: dict[int, int] = {}
-
 
 def hyperplanes(dim: int, n_planes: int = 12, seed: int = 123) -> np.ndarray:
     """Deterministic INTEGER hyperplanes from md5 arithmetic — the same
@@ -299,20 +296,18 @@ def near_dup_pairs(
     verifier; `near_dup_lsh` is the sub-quadratic scale path.
     """
     if n_blocks is None:
-        # the sizing count is a real (tiny) Spark job; memoize it per logical
-        # plan so repeated invocations on the same input (bench loops, the
-        # contract driver) don't re-run it at every plan build. Callers that
-        # know their corpus can skip it entirely via ``n_blocks``.
-        key = emb._jdf.queryExecution().analyzed().semanticHash()
-        if key not in _BLOCK_CACHE:
-            n, dim = emb.agg(
-                F.count(F.lit(1)), F.min(F.size(F.col("embedding")))
-            ).first()
-            if len(_BLOCK_CACHE) > 256:
-                _BLOCK_CACHE.clear()
-            corpus_bytes = int(n or 0) * int(dim or 0) * 8
-            _BLOCK_CACHE[key] = max(1, -(-corpus_bytes // target_block_bytes))
-        n_blocks = _BLOCK_CACHE[key]
+        # the sizing count is a tiny Spark job that runs at EVERY plan build
+        # on purpose: it is the guard that keeps packed collect_list rows
+        # under Arrow's 2 GB row limit, and any memoization (plan hash, DF
+        # identity) goes stale the moment the files at the source path
+        # change — re-reading the same path after an append would reuse an
+        # under-sized n_blocks, the exact blow-up the sizing prevents.
+        # Callers looping over a known corpus skip it via ``n_blocks``.
+        n, dim = emb.agg(
+            F.count(F.lit(1)), F.min(F.size(F.col("embedding")))
+        ).first()
+        corpus_bytes = int(n or 0) * int(dim or 0) * 8
+        n_blocks = max(1, -(-corpus_bytes // target_block_bytes))
     packed = (
         emb.select("vec_id", "embedding", "label", F.pmod(F.col("vec_id"), F.lit(n_blocks)).alias("blk"))
         .groupBy("blk")

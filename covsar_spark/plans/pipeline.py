@@ -107,13 +107,18 @@ def flagship(tokens: DataFrame) -> DataFrame:
     """One DataFrame joining the 1m rollup quality summary with its eigen
     kernel output — the per-window rolled-up points + dominant-mode metrics.
 
-    persist=True is load-bearing: BOTH branches below (hourly summary and
+    The persist below is load-bearing: BOTH branches (hourly summary and
     the eigen kernel) read the gap-filled 1m tier, so without it the
     calendar-grid join + fill would execute twice in `entry()`'s plan
     (InMemoryRelation reuse instead; verified in
-    tests/test_plans.py::test_flagship_reuses_filled_tier)."""
-    tiers = run_tiers(tokens, with_eigen=True, persist=True)
-    filled = tiers["1m"]["filled"]
+    tests/test_plans.py::test_flagship_reuses_filled_tier). ONLY the shared
+    filled tier is cached — run_tiers(persist=True) would also pin the
+    pre-fill rollup (a single-consumer plan here) into executor storage
+    with zero reuse."""
+    from pyspark.storagelevel import StorageLevel
+
+    tiers = run_tiers(tokens, with_eigen=True, persist=False)
+    filled = tiers["1m"]["filled"].persist(StorageLevel.MEMORY_AND_DISK)
     eig = tiers["1m"]["eigen"]
     hourly = filled.groupBy(
         "source", (F.floor(F.col("epoch_s") / 3600) * 3600).cast("long").alias("span_s")
