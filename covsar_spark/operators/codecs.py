@@ -219,7 +219,7 @@ def encode_xor(vals: np.ndarray) -> bytes:
     lead = np.minimum(_clz64(x), 31)
     trail = _ctz64(x)
     zero = x == 0
-    mlen = np.where(zero, 1, 64 - lead - np.where(zero, 0, trail))  # meaningful bits
+    mlen = np.where(zero, 1, 64 - lead - trail)  # meaningful bits
     mean = np.where(zero, _U64(0), x >> np.minimum(trail, 63).astype(_U64))
     # fields per value: control(1) [+ header(11) + meaningful]
     ctrl = np.where(zero, _U64(0), _U64(1))
@@ -332,7 +332,7 @@ def encode_xor_many(vals_list: list[np.ndarray]) -> list[bytes]:
     lead = np.minimum(_clz64(x), 31)
     trail = _ctz64(x)
     zero = x == 0
-    mlen = np.where(zero, 1, 64 - lead - np.where(zero, 0, trail))
+    mlen = np.where(zero, 1, 64 - lead - trail)
     mean = np.where(zero, _U64(0), x >> np.minimum(trail, 63).view(_U64))
     ctrl = np.where(zero, _U64(0), _U64(1))
     hdr = (lead.view(_U64) << _U64(6)) | (mlen - 1).view(_U64)

@@ -401,3 +401,46 @@ def test_frame_features_real_decode(spark):
         [y0.mean() / 255.0, y1.mean() / 255.0],
         atol=1e-6,
     )
+
+
+def test_cascade_stream_restart_resumes_exactly_once(spark, tmp_path):
+    """The round-4 review finding: a RESTARTED cascade stream must resume
+    batch numbering from its checkpoint (not re-number from 0 and clobber
+    existing batch partitions). Two invocations over a growing source dir
+    must leave every (source, window) exactly once and equal the batch
+    cascade of the final 1m tier."""
+    from covsar_spark.operators.rollup import rollup_tokens, with_event_time
+    from covsar_spark.streaming.cascade_stream import cascade_1h_from_1m, run_cascade_stream
+
+    src = tmp_path / "tok"
+    write_tokens(str(src / "part1"), 1200, seed=42)
+    out = str(tmp_path / "tiers")
+    tier_1m, tier_1h = run_cascade_stream(spark, str(src / "*"), out)
+    n_first = spark.read.parquet(tier_1m).count()
+
+    # new data arrives; the stream restarts from the same checkpoint. The
+    # new events carry event times inside the already-passed watermark, so
+    # correct streaming semantics drop them as late — the checkpoint
+    # evidence is that the restart does NOT re-read the old files and
+    # re-emit every window under restarted batch numbering (the
+    # pre-checkpoint behavior: duplicated windows + clobbered partitions).
+    write_tokens(str(src / "part2"), 1200, seed=43)
+    tier_1m, tier_1h = run_cascade_stream(spark, str(src / "*"), out)
+
+    m1 = spark.read.parquet(tier_1m)
+    assert m1.count() == n_first  # no reprocessing, no clobber, no dup-emit
+    dup = m1.groupBy("source", "epoch_s").count().filter("count > 1").count()
+    assert dup == 0, "restart re-emitted an already-finalized window"
+    got = (
+        spark.read.parquet(tier_1h)
+        .select("source", "epoch_s", "token_count", "n_docs")
+        .toPandas().sort_values(["source", "epoch_s"]).reset_index(drop=True)
+    )
+    want = (
+        cascade_1h_from_1m(m1.drop("batch_id", "epoch_day"))
+        .select("source", "epoch_s", "token_count", "n_docs")
+        .toPandas().sort_values(["source", "epoch_s"]).reset_index(drop=True)
+    )
+    assert len(got) == len(want) and len(got) > 0
+    for c in ("token_count", "n_docs"):
+        assert np.array_equal(got[c].to_numpy(), want[c].to_numpy()), c
