@@ -2,7 +2,9 @@
 reference's pervasive complex ops (SURVEY.md §1.2, §2.8): Spark has no complex
 type, so complex values ride as two double columns (or two array<double>
 columns inside kernels). conj = negate im; abs = hypot; angle = atan2;
-wrap-to-(-pi, pi] = pmod expression (covsar/closures.py:162).
+wrap-to-[-pi, pi) = pmod expression (covsar/closures.py:162; note the
+interval: phi = +pi wraps to -pi, matching `wrap_phase`'s own docstring —
+np.angle's (-pi, pi] convention differs at exactly the boundary).
 
 All pure built-in expressions — whole-stage-codegen'd, no UDFs.
 """

@@ -101,6 +101,26 @@ def gammainc_p(a, x) -> np.ndarray:
     return np.clip(out, 0.0, 1.0)
 
 
+def gammainc_q(a, x) -> np.ndarray:
+    """Regularized UPPER incomplete gamma Q(a, x) = 1 - P(a, x), computed
+    DIRECTLY: in the tail (x >= a+1) the continued fraction already yields Q
+    to full precision, so routing through P would destroy sub-1e-16 tails
+    (1 - (1 - Q) collapses p-values below ~2e-16 to exactly 0; round-4
+    review — scipy.stats.chi2.sf keeps them)."""
+    a = np.asarray(a, dtype=np.float64)
+    x = np.asarray(x, dtype=np.float64)
+    a, x = np.broadcast_arrays(a, x)
+    out = np.ones(a.shape, dtype=np.float64)
+    pos = x > 0
+    ser = pos & (x < a + 1.0)
+    cf = pos & ~ser
+    if ser.any():
+        out[ser] = 1.0 - _gammainc_p_series(a[ser], x[ser])
+    if cf.any():
+        out[cf] = _gammainc_q_contfrac(a[cf], x[cf])
+    return np.clip(out, 0.0, 1.0)
+
+
 def chi2_cdf(x, df) -> np.ndarray:
     """chi-squared CDF (scipy.stats.chi2.cdf replacement,
     covsar/closures.py:141)."""
@@ -108,6 +128,8 @@ def chi2_cdf(x, df) -> np.ndarray:
 
 
 def chi2_sf(x, df) -> np.ndarray:
-    """Survival function 1 - cdf (the reference's p-value,
-    covsar/closures.py:141)."""
-    return 1.0 - chi2_cdf(x, df)
+    """Survival function Q(df/2, x/2) — the reference's p-value
+    (covsar/closures.py:141). Computed via the direct upper-gamma path so
+    deep-tail p-values (chi2 ~ 80 at 3 dof -> ~3e-17) survive instead of
+    rounding to 0.0 through 1 - cdf."""
+    return gammainc_q(np.asarray(df, dtype=np.float64) / 2.0, np.asarray(x, dtype=np.float64) / 2.0)

@@ -43,14 +43,22 @@ def range_join(
     unmatched points with NULL interval columns.
     """
     icols = [c for c in intervals.columns if c != on]
+    # upper bound floor(hi/b): when hi lands exactly on a bucket boundary
+    # this adds one bucket the residual filter discards (cheap), but unlike
+    # the integer-only floor((hi-1)/b) form it keeps the last PARTIAL bucket
+    # of fractional intervals (t=100.2 in [90, 100.5) must match). Empty or
+    # inverted intervals explode to zero rows instead of a descending
+    # sequence.
+    seq = F.when(
+        F.col(hi) > F.col(lo),
+        F.sequence(
+            F.floor(F.col(lo) / bucket_s).cast("long"),
+            F.floor(F.col(hi) / bucket_s).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
     iv = intervals.select(
         F.col(on).alias("_k"),
-        F.explode(
-            F.sequence(
-                F.floor(F.col(lo) / bucket_s).cast("long"),
-                F.floor((F.col(hi) - 1) / bucket_s).cast("long"),
-            )
-        ).alias("_bkt"),
+        F.explode(seq).alias("_bkt"),
         *icols,
     )
     pt = points.select(
@@ -99,22 +107,37 @@ def asof_join(
 
     Ties at equal timestamps: the right row wins (at-or-before), matching
     DuckDB's ASOF JOIN `ON l.t >= r.t` semantics.
+
+    The matched row is carried as ONE struct through a single
+    last(ignorenulls) — carrying asof_t and each payload column in separate
+    running-last frames (the previous form) let a matched row whose payload
+    is NULL inherit a STALE payload from an older right row, mixing columns
+    of different right rows (round-4 review finding; DuckDB's ASOF JOIN
+    returns the matched row's own NULL). Timestamps are compared on their
+    own type — no long cast, so fractional timestamps order correctly.
     """
+    from pyspark.sql import types as T
+
     lcols = left.columns
+    rp_type = T.StructType(
+        [T.StructField("_rt", right.schema[right_t].dataType)]
+        + [T.StructField(f"_p_{c}", right.schema[c].dataType) for c in payload]
+    )
     r_tagged = right.select(
         F.col(on).alias("_k"),
-        F.col(right_t).cast("long").alias("_t"),
+        F.col(right_t).alias("_t"),
         F.lit(1).alias("_is_r"),
-        F.col(right_t).cast("long").alias("_rt"),
-        *[F.col(c).alias(f"_p_{c}") for c in payload],
+        F.struct(
+            F.col(right_t).alias("_rt"),
+            *[F.col(c).alias(f"_p_{c}") for c in payload],
+        ).alias("_rp"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
     )
     l_tagged = left.select(
         F.col(on).alias("_k"),
-        F.col(left_t).cast("long").alias("_t"),
+        F.col(left_t).alias("_t"),
         F.lit(0).alias("_is_r"),
-        F.lit(None).cast("long").alias("_rt"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_p_{c}") for c in payload],
+        F.lit(None).cast(rp_type).alias("_rp"),
         *lcols,
     )
     u = r_tagged.unionByName(l_tagged)
@@ -122,13 +145,11 @@ def asof_join(
     # flips the order so an exactly-equal right row is NOT visible yet
     order: list[Column] = [F.col("_t").asc(), F.col("_is_r").desc() if not strict else F.col("_is_r").asc()]
     w = W.partitionBy("_k").orderBy(*order).rowsBetween(W.unboundedPreceding, 0)
-    carried = u.select(
-        "*",
-        F.last("_rt", ignorenulls=True).over(w).alias("asof_t"),
-        *[F.last(f"_p_{c}", ignorenulls=True).over(w).alias(f"asof_{c}") for c in payload],
-    )
+    carried = u.select("*", F.last("_rp", ignorenulls=True).over(w).alias("_asof"))
     return carried.filter(F.col("_is_r") == 0).select(
-        *lcols, "asof_t", *[f"asof_{c}" for c in payload]
+        *lcols,
+        F.col("_asof._rt").alias("asof_t"),
+        *[F.col(f"_asof._p_{c}").alias(f"asof_{c}") for c in payload],
     )
 
 
@@ -158,13 +179,17 @@ def nearest_point_join(
     )
     dx = F.col(x_col) - F.col("_qx")
     dy = F.col(y_col) - F.col("_qy")
-    d2 = dx * dx + dy * dy  # pure int64 when coords are ints — oracle-exact
+    # dist2 keeps the coordinates' own type: pure int64 for integer coords
+    # (oracle-exact; |coord| must stay < ~2^31 or dx*dx overflows int64),
+    # double for float coords — no long cast, which would truncate
+    # fractional distances and corrupt the argmin (round-4 review finding)
+    d2 = dx * dx + dy * dy
     return (
         cand.crossJoin(F.broadcast(q))
         .groupBy(query_id_col)
         .agg(
             F.min(
-                F.struct(d2.cast("long").alias("dist2"), F.col(id_col).alias("nn_id"))
+                F.struct(d2.alias("dist2"), F.col(id_col).alias("nn_id"))
             ).alias("_m")
         )
         .select(query_id_col, F.col("_m.nn_id").alias("nn_id"), F.col("_m.dist2").alias("dist2"))

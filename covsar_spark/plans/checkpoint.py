@@ -33,19 +33,45 @@ class CheckpointManifest:
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
 
     def done(self) -> dict[str, dict]:
+        """Completed partitions. A TORN trailing line (crash mid-append)
+        must not poison resume: an unparsable line is treated as
+        not-recorded — its partition simply re-runs, which is the
+        idempotent-recompute contract anyway (round-4 review: a bare
+        json.loads here permanently broke resume after the exact crash the
+        manifest exists to recover from)."""
         out: dict[str, dict] = {}
         if os.path.exists(self.path):
             with open(self.path) as f:
                 for line in f:
-                    if line.strip():
+                    if not line.strip():
+                        continue
+                    try:
                         rec = json.loads(line)
-                        out[rec["partition"]] = rec
+                    except json.JSONDecodeError:
+                        continue  # torn partial line from a crashed append
+                    out[rec["partition"]] = rec
         return out
 
     def record(self, partition: str, metrics: dict) -> None:
         rec = {"partition": partition, "status": "done", "ts": time.time(), **metrics}
+        # heal a newline-less tail left by a crashed append, so this record
+        # never concatenates onto a torn line
+        if os.path.exists(self.path):
+            with open(self.path, "rb") as f:
+                f.seek(0, os.SEEK_END)
+                if f.tell() > 0:
+                    f.seek(-1, os.SEEK_END)
+                    torn = f.read(1) != b"\n"
+                else:
+                    torn = False
+        else:
+            torn = False
         with open(self.path, "a") as f:
-            f.write(json.dumps(rec) + "\n")
+            # single write incl. the newline: an interrupted append can tear
+            # THIS record (tolerated by done()) but never a prior one
+            f.write(("\n" if torn else "") + json.dumps(rec) + "\n")
+            f.flush()
+            os.fsync(f.fileno())
 
     def partition_dir(self, partition: str) -> str:
         return os.path.join(self.root, "data", partition)

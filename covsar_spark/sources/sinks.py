@@ -24,7 +24,9 @@ from pyspark.sql import functions as F
 
 
 def _day(col: str = "epoch_s") -> F.Column:
-    return F.date_format(F.timestamp_seconds(F.col(col)), "yyyy-MM-dd")
+    # integer-UTC day key (see sources/tables.utc_day): timezone-free, so
+    # the dynamic-partition overwrite stays idempotent across sessions
+    return F.date_from_unix_date(F.floor(F.col(col) / 86400).cast("int"))
 
 
 def _write_partitioned(df: DataFrame, path: str, part_col: str = "day") -> None:
@@ -33,7 +35,7 @@ def _write_partitioned(df: DataFrame, path: str, part_col: str = "day") -> None:
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try:
         (
-            df.repartition(part_col)
+            df.repartition(part_col, "source")
             .sortWithinPartitions("source", *[c for c in ("epoch_s", "span_s") if c in df.columns])
             .write.mode("overwrite")
             .partitionBy(part_col)

@@ -30,18 +30,46 @@ def _has_iceberg(spark: SparkSession) -> bool:
         return False
 
 
-def write_tier(roll: DataFrame, path: str, tier: str, mode: str = "overwrite") -> None:
-    """Persist a tier rollup partitioned by day; Iceberg table if jars are on
-    the classpath, identical-layout parquet otherwise."""
-    with_day = roll.withColumn(
-        "day", F.date_format(F.timestamp_seconds(F.col("epoch_s")), "yyyy-MM-dd")
-    )
+def utc_day(col: str = "epoch_s") -> F.Column:
+    """Partition day key as a DATE from INTEGER UTC day arithmetic
+    (date_from_unix_date(floor(epoch/86400))) — no timezone function, so a
+    table written and read under different spark.sql.session.timeZone values
+    prunes identically (round-4 review: date_format keys silently dropped
+    rows across sessions; streaming/cascade_stream.py uses the same
+    integer-day principle)."""
+    return F.date_from_unix_date(F.floor(F.col(col) / 86400).cast("int"))
+
+
+def _utc_day_lit(epoch: int) -> F.Column:
+    return F.date_from_unix_date(F.lit(int(epoch) // 86400))
+
+
+def write_tier(
+    roll: DataFrame, path: str, tier: str, mode: str = "overwrite", table: str | None = None
+) -> None:
+    """Persist a tier rollup partitioned by UTC day.
+
+    With ``table`` set AND iceberg jars on the classpath, commits to that
+    catalog TABLE (append honors ``mode='append'``); the filesystem ``path``
+    form is always the identical-layout partitioned parquet — `read_tier`
+    reads the path form. (Previously the Iceberg branch passed the PATH to
+    writeTo() — an invalid multipart identifier — and ignored ``mode``;
+    round-4 review.)"""
+    with_day = roll.withColumn("day", utc_day())
     spark = roll.sparkSession
-    if _has_iceberg(spark):  # pragma: no cover — jars absent in this image
-        with_day.writeTo(path).partitionedBy("day").createOrReplace()
+    if table is not None and _has_iceberg(spark):  # pragma: no cover — jars absent here
+        w = with_day.writeTo(table)
+        if mode == "append":
+            w.append()
+        else:
+            w.partitionedBy("day").createOrReplace()
         return
     (
-        with_day.repartition("day")
+        # repartition by (day, source): one task per day would funnel every
+        # source of that day through a single sorter/writer (straggler/OOM
+        # at 10^12-sequence scale); day-level directories still come from
+        # partitionBy, now with per-source-group files inside
+        with_day.repartition("day", "source")
         .sortWithinPartitions("source", "epoch_s")
         .write.mode(mode)
         .partitionBy("day")
@@ -54,9 +82,7 @@ def read_tier(spark: SparkSession, path: str, lo_epoch: int | None = None, hi_ep
     row-level filter (check `.explain` for PartitionFilters)."""
     df = spark.read.parquet(path)
     if lo_epoch is not None:
-        lo_day = F.date_format(F.timestamp_seconds(F.lit(lo_epoch)), "yyyy-MM-dd")
-        df = df.filter((F.col("day") >= lo_day) & (F.col("epoch_s") >= lo_epoch))
+        df = df.filter((F.col("day") >= _utc_day_lit(lo_epoch)) & (F.col("epoch_s") >= lo_epoch))
     if hi_epoch is not None:
-        hi_day = F.date_format(F.timestamp_seconds(F.lit(hi_epoch)), "yyyy-MM-dd")
-        df = df.filter((F.col("day") <= hi_day) & (F.col("epoch_s") <= hi_epoch))
+        df = df.filter((F.col("day") <= _utc_day_lit(hi_epoch)) & (F.col("epoch_s") <= hi_epoch))
     return df.drop("day")

@@ -190,3 +190,52 @@ def test_nearest_point_join_matches_numpy(spark):
         best = min(range(n), key=lambda i: (d2[i], i))
         assert got.loc[q, "nn_id"] == best
         assert got.loc[q, "dist2"] == d2[best]
+
+
+def test_asof_join_null_payload_not_stale(spark):
+    """Round-4 review finding: a matched right row whose payload is NULL
+    must yield NULL (the matched row's own value), never a stale payload
+    from an older right row — DuckDB ASOF JOIN semantics."""
+    import pandas as pd
+
+    from covsar_spark.operators.asof import asof_join
+
+    right = spark.createDataFrame(
+        pd.DataFrame({"k": ["a", "a"], "t": [10, 20], "p": [5.0, None]})
+    )
+    left = spark.createDataFrame(pd.DataFrame({"k": ["a"], "lt": [25]}))
+    out = asof_join(left, right, on="k", left_t="lt", right_t="t", payload=["p"]).toPandas()
+    assert len(out) == 1
+    assert int(out.loc[0, "asof_t"]) == 20  # matched the t=20 row...
+    assert pd.isna(out.loc[0, "asof_p"])  # ...and kept ITS null payload
+
+
+def test_asof_join_fractional_timestamps(spark):
+    """No long-cast truncation: right t=2.7 must NOT match left t=2.5."""
+    import pandas as pd
+
+    from covsar_spark.operators.asof import asof_join
+
+    right = spark.createDataFrame(pd.DataFrame({"k": ["a", "a"], "t": [1.5, 2.7], "p": [1.0, 2.0]}))
+    left = spark.createDataFrame(pd.DataFrame({"k": ["a"], "lt": [2.5]}))
+    out = asof_join(left, right, on="k", left_t="lt", right_t="t", payload=["p"]).toPandas()
+    assert out.loc[0, "asof_t"] == 1.5 and out.loc[0, "asof_p"] == 1.0
+
+
+def test_range_join_fractional_and_empty_intervals(spark):
+    """The last partial bucket of a fractional interval must match, and an
+    empty/inverted interval explodes to zero rows (not a descending seq)."""
+    import pandas as pd
+
+    from covsar_spark.operators.asof import range_join
+
+    pts = spark.createDataFrame(
+        pd.DataFrame({"k": ["a", "a"], "t": [100.2, 89.0], "pid": [1, 2]})
+    )
+    # second interval is inverted (hi < lo): must produce zero rows
+    iv = spark.createDataFrame(
+        pd.DataFrame({"k": ["a", "a"], "lo": [90.0, 200.0], "hi": [100.5, 150.0], "iid": ["i1", "i2"]})
+    )
+    out = range_join(pts, iv, on="k", t="t", lo="lo", hi="hi", bucket_s=10).toPandas()
+    # t=100.2 in [90, 100.5): matched via the partial bucket 10
+    assert set(zip(out["pid"], out["iid"])) == {(1, "i1")}

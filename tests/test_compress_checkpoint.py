@@ -60,3 +60,30 @@ def test_resume_skips_done_partitions(spark, tiny_cols, tmp_path):
     a = spark.read.parquet(man.partition_dir("web")).toPandas().sort_values("epoch_s")
     direct = rollup_tokens(df.filter(df.source == "web"), "1m").toPandas().sort_values("epoch_s")
     assert np.array_equal(a["token_count"].to_numpy(), direct["token_count"].to_numpy())
+
+
+def test_manifest_tolerates_torn_trailing_line(tmp_path):
+    """Crash mid-append leaves a partial json line: done() must skip it (the
+    partition re-runs, idempotent), and the next record() must heal the
+    newline-less tail instead of concatenating onto it."""
+    import json
+
+    from covsar_spark.plans.checkpoint import CheckpointManifest
+
+    m = CheckpointManifest(str(tmp_path / "ckpt"))
+    m.record("p0", {"rows": 1})
+    # simulate a torn append: partial record, no newline
+    with open(m.path, "a") as f:
+        f.write('{"partition": "p1", "st')
+    done = m.done()
+    assert set(done) == {"p0"}  # torn line skipped, prior record intact
+    m.record("p2", {"rows": 3})
+    done = m.done()
+    assert set(done) == {"p0", "p2"}
+    # every surviving line is valid json
+    for line in open(m.path):
+        if line.strip():
+            try:
+                json.loads(line)
+            except json.JSONDecodeError:
+                assert line.startswith('{"partition": "p1"')  # only the torn one
