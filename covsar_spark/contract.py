@@ -302,8 +302,9 @@ def phase_cumprod_q(spark, sf_dir):
                  fmod(fmod(tot + pi(), 2 * pi()) + 2 * pi(), 2 * pi()) - pi() AS ph
           FROM s),
     u AS (SELECT source, epoch_s, ph,
-                 ceil((ph - lag(ph) OVER (PARTITION BY source ORDER BY epoch_s) - pi())
-                      / (2 * pi()))::BIGINT AS k
+                 (sign(ph - lag(ph) OVER (PARTITION BY source ORDER BY epoch_s))
+                  * ceil((abs(ph - lag(ph) OVER (PARTITION BY source ORDER BY epoch_s)) - pi())
+                         / (2 * pi())))::BIGINT AS k
           FROM w)
     SELECT source, epoch_s, round(ph, 6) AS wrapped,
            round(ph - 2 * pi() * sum(coalesce(k, 0)) OVER (PARTITION BY source ORDER BY epoch_s
@@ -625,7 +626,7 @@ def semi_anti_join(spark, sf_dir):
     WITH r AS ({_EV_1M_SQL})
     SELECT a.source, a.epoch_s AS e_i, b.epoch_s AS e_j,
            ((b.epoch_s - a.epoch_s) / 60)::BIGINT AS lag,
-           (a.token_count * b.token_count)::BIGINT AS pair_prod,
+           (a.token_count::DOUBLE * b.token_count::DOUBLE) AS pair_prod,
            round(ln((a.token_count + 1.0) / (b.token_count + 1.0)), 6) AS log_ratio
     FROM r a JOIN r b ON a.source = b.source
       AND b.epoch_s > a.epoch_s AND b.epoch_s <= a.epoch_s + 180
@@ -919,8 +920,9 @@ def value_histogram(spark, sf_dir):
       FROM events CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS rep)
       GROUP BY 1, 2)
     SELECT o.grp AS event_type, o.n, o.obs_diff,
-           round((sum(CASE WHEN abs(r.stat) >= abs(o.obs_diff) THEN 1 ELSE 0 END) + 1)
-                 / 61.0, 6) AS pval
+           CASE WHEN o.obs_diff IS NULL THEN NULL
+                ELSE round((sum(CASE WHEN abs(r.stat) < abs(o.obs_diff) THEN 0 ELSE 1 END) + 1)
+                           / 61.0, 6) END AS pval
     FROM reps r JOIN obs o ON r.grp = o.grp
     GROUP BY 1, 2, 3
     """,
@@ -1066,7 +1068,7 @@ def chi2_significance(spark, sf_dir):
 # Dedup suite on documents (training-data pipeline, SURVEY.md §2 extension)
 # ---------------------------------------------------------------------------
 
-_WORDS_SQL = r"string_split_regex(trim(text), '\s+')"
+_WORDS_SQL = r"list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')"
 _SHINGLES_SQL = rf"""
   w AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
   g AS (SELECT doc_id, words,
@@ -1249,12 +1251,12 @@ def word_stats(spark, sf_dir):
                  length(regexp_replace(trim(text), '\s+', '', 'g')) AS n_alpha
           FROM w)
     SELECT doc_id, n_words::BIGINT AS n_words,
-           round(n_stop / n_words, 6) AS stopword_ratio,
-           round(n_uniq / n_words, 6) AS uniq_ratio,
-           round(n_alpha / n_words, 6) AS mean_word_len,
-           ((CASE WHEN n_alpha / n_words BETWEEN 3 AND 10 THEN 1 ELSE 0 END)
-            + (CASE WHEN n_stop / n_words >= 0.05 THEN 1 ELSE 0 END)
-            + (CASE WHEN n_uniq / n_words >= 0.3 THEN 1 ELSE 0 END)
+           round(n_stop / nullif(n_words, 0), 6) AS stopword_ratio,
+           round(n_uniq / nullif(n_words, 0), 6) AS uniq_ratio,
+           round(n_alpha / nullif(n_words, 0), 6) AS mean_word_len,
+           (coalesce((CASE WHEN n_alpha / nullif(n_words, 0) BETWEEN 3 AND 10 THEN 1 ELSE 0 END), 0)
+            + coalesce((CASE WHEN n_stop / nullif(n_words, 0) >= 0.05 THEN 1 ELSE 0 END), 0)
+            + coalesce((CASE WHEN n_uniq / nullif(n_words, 0) >= 0.3 THEN 1 ELSE 0 END), 0)
             + (CASE WHEN n_words >= 10 THEN 1 ELSE 0 END))::INT AS quality
     FROM s
     """,
@@ -1270,7 +1272,7 @@ def quality_score(spark, sf_dir):
     WITH w AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
     s AS (SELECT doc_id,
                  len(list_filter(words, x -> lower(x) IN {_STOPWORDS_SQL}))
-                   / len(words) AS ratio
+                   / nullif(len(words), 0) AS ratio
           FROM w)
     SELECT doc_id, round(ratio, 6) AS stopword_ratio,
            CASE WHEN ratio >= 0.03 THEN 'en' ELSE 'unk' END AS lang_pred
@@ -1287,9 +1289,10 @@ def lang_id(spark, sf_dir):
     WITH w AS (SELECT doc_id, {_WORDS_SQL} AS words FROM documents),
     g AS (SELECT doc_id, words,
                  unnest(generate_series(1, greatest(len(words) - 1, 0))) AS i FROM w),
-    bg AS (SELECT doc_id, words[i] || ' ' || words[i+1] AS bg FROM g)
-    SELECT doc_id, bit_xor(('0x' || substr(md5(bg), 1, 15))::BIGINT) AS fp
-    FROM bg GROUP BY 1
+    bg AS (SELECT doc_id, words[i] || ' ' || words[i+1] AS bg FROM g),
+    agg AS (SELECT doc_id, bit_xor(('0x' || substr(md5(bg), 1, 15))::BIGINT) AS fp
+            FROM bg GROUP BY 1)
+    SELECT d.doc_id, a.fp FROM documents d LEFT JOIN agg a USING (doc_id)
     """,
 )
 def fingerprint(spark, sf_dir):
@@ -1336,7 +1339,9 @@ def repetition_stats(spark, sf_dir):
       SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
              round(tf.tf * (ln((n.n_docs + 1.0) / (dfq.df + 1.0)) + 1.0), 4) AS score,
              row_number() OVER (PARTITION BY tf.doc_id
-                                ORDER BY tf.tf DESC, dfq.df ASC, tf.term ASC) AS rank
+                                ORDER BY round(tf.tf * (ln((n.n_docs + 1.0) / (dfq.df + 1.0))
+                                                        + 1.0), 4) DESC,
+                                         tf.term ASC) AS rank
       FROM tf JOIN dfq USING (term) CROSS JOIN n)
     SELECT doc_id, rank::INT AS rank, term, tf::BIGINT AS tf, df::BIGINT AS df, score
     FROM scored WHERE rank <= 3

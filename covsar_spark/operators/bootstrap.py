@@ -20,6 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .text import md5_int60
+
 
 def permutation_pvalue(
     df: DataFrame,
@@ -37,7 +39,7 @@ def permutation_pvalue(
     which was 8x the query's cost at sf0.1."""
     if not 1 <= n_reps <= 60:
         raise ValueError("n_reps must be in [1, 60] (bits of one md5)")
-    h = F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 15), 16, 10).cast("long")
+    h = md5_int60(F.col(id_col).cast("string"))  # shared 60-bit Spark/DuckDB hash
     v = F.col(value_col)
     base = df.select(F.col(group_col).alias("grp"), F.col(id_col).alias("_id"), v.alias("_v"), h.alias("_h"))
     # ONE scan, ONE tiny shuffle: all n_reps replicate means are conditional
@@ -54,15 +56,22 @@ def permutation_pvalue(
         aggs.append(F.avg(F.when(bit == 1, F.col("_v"))).alias(f"m1_{r}"))
     g = base.groupBy("grp").agg(*aggs)
     obs = F.round(F.col("a0") - F.col("a1"), 6)
+    # a replicate whose half-mean is undefined (all rows drew one bit) can
+    # never count as evidence AGAINST exceedance: only a definite
+    # |stat| < |obs| scores 0, so NULLs count as exceedances — the
+    # conservative direction (round-4 review: otherwise(0) silently shrank
+    # pval). An undefined OBSERVED statistic yields pval NULL, not 1/(R+1).
     exceed = sum(
         F.when(
-            F.abs(F.round(F.col(f"m0_{r}") - F.col(f"m1_{r}"), 6)) >= F.abs(obs), 1
-        ).otherwise(0)
+            F.abs(F.round(F.col(f"m0_{r}") - F.col(f"m1_{r}"), 6)) < F.abs(obs), 0
+        ).otherwise(1)
         for r in range(n_reps)
     )
     return g.select(
         F.col("grp").alias(group_col),
         "n",
         obs.alias("obs_diff"),
-        F.round((exceed + 1) / (F.lit(n_reps) + 1.0), 6).alias("pval"),
+        F.when(
+            obs.isNotNull(), F.round((exceed + 1) / (F.lit(n_reps) + 1.0), 6)
+        ).alias("pval"),
     )

@@ -30,14 +30,14 @@ from pyspark.sql import functions as F
 from ..schemas import TIERS
 
 
-def epoch_pairs(roll: DataFrame, tier: str, max_lag: int = 3) -> DataFrame:
-    """Self-join on (source), theta-join on epoch: pairs (i, j), 1 <= j-i <=
-    max_lag epochs, projecting the product and log-ratio of window rates —
-    the relational form of interferogram formation x_i * conj(x_j)."""
-    tier_s = TIERS[tier]
-    # explode the bounded lag set and equi-join on the computed epoch: a raw
-    # theta join (e_j > e_i AND e_j <= e_i + k) degrades to a nested-loop
-    # join (O(n^2) per source — measured 46s vs <1s at sf0.1)
+def lag_pairs(roll: DataFrame, tier_s: int, max_lag: int = 3) -> DataFrame:
+    """Bounded-lag pair set (source, e_i, e_j, lag, v_i, v_j): explode the
+    lag list and equi-join on the COMPUTED epoch. This is the ONE definition
+    of the anti-degradation join shape — a raw theta join
+    (e_j > e_i AND e_j <= e_i + k) silently becomes a nested-loop join
+    (O(n^2) per source; measured 46s vs <1s at sf0.1). Shared by
+    epoch_pairs and mean_lag_coherence (round-4 review: the construction
+    was duplicated)."""
     a = roll.select(
         "source",
         F.col("epoch_s").alias("e_i"),
@@ -45,12 +45,24 @@ def epoch_pairs(roll: DataFrame, tier: str, max_lag: int = 3) -> DataFrame:
         F.explode(F.array(*[F.lit(k) for k in range(1, max_lag + 1)])).alias("lag"),
     ).withColumn("e_j", F.col("e_i") + F.col("lag") * tier_s)
     b = roll.select("source", F.col("epoch_s").alias("e_j"), F.col("token_count").alias("v_j"))
-    return a.join(b, ["source", "e_j"]).select(
+    return a.join(b, ["source", "e_j"])
+
+
+def epoch_pairs(roll: DataFrame, tier: str, max_lag: int = 3) -> DataFrame:
+    """Bounded-lag pairs (i, j), 1 <= j-i <= max_lag epochs, projecting the
+    product and log-ratio of window rates — the relational form of
+    interferogram formation x_i * conj(x_j)."""
+    tier_s = TIERS[tier]
+    return lag_pairs(roll, tier_s, max_lag).select(
         "source",
         "e_i",
         "e_j",
         F.col("lag").cast("long").alias("lag"),
-        (F.col("v_i") * F.col("v_j")).cast("long").alias("pair_prod"),
+        # DOUBLE product, not int64: the interferogram analogue x_i * x_j
+        # is float in the reference, and two hot 1d-tier windows beyond ~3e9
+        # tokens would overflow int64 (ANSI mode -> job abort; round-4
+        # review). Exact below 2^53; identical IEEE multiply in both engines.
+        (F.col("v_i").cast("double") * F.col("v_j").cast("double")).alias("pair_prod"),
         F.round(
             F.log((F.col("v_i") + F.lit(1.0)) / (F.col("v_j") + F.lit(1.0))), 6
         ).alias("log_ratio"),
@@ -106,14 +118,7 @@ def mean_lag_coherence(roll: DataFrame, tier: str, max_lag: int = 3) -> DataFram
     lag-coherence is the cross-correlation of the series with its k-lag
     shift, plus the mean |log-ratio| magnitude of the pairs."""
     tier_s = TIERS[tier]
-    a = roll.select(
-        "source",
-        F.col("epoch_s").alias("e_i"),
-        F.col("token_count").alias("v_i"),
-        F.explode(F.array(*[F.lit(k) for k in range(1, max_lag + 1)])).alias("lag"),
-    ).withColumn("e_j", F.col("e_i") + F.col("lag") * tier_s)
-    b = roll.select("source", F.col("epoch_s").alias("e_j"), F.col("token_count").alias("v_j"))
-    pairs = a.join(b, ["source", "e_j"])
+    pairs = lag_pairs(roll, tier_s, max_lag)
     return pairs.groupBy("source", F.col("lag").cast("long").alias("lag")).agg(
         F.count(F.lit(1)).alias("n_pairs"),
         F.round(

@@ -45,7 +45,6 @@ N=20 -> 190 pairs, 1140 triplets.
 from __future__ import annotations
 
 from functools import lru_cache
-from itertools import combinations
 
 import numpy as np
 import pandas as pd
@@ -54,6 +53,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.stats import chi2_sf
+from .closure import design_matrix
 from .spanbucket import with_span_bucket
 
 MAX_EPOCHS = 20  # files[:20] analogue (covsar/closure_inten.py:73)
@@ -65,14 +65,11 @@ def _constants(n: int):
     superdiagonal pair positions) for an N-epoch stack — computed once per N
     per worker (reference hoists these out of the pixel loop,
     closure_inten.py:178-191)."""
-    pairs = list(combinations(range(n), 2))
+    # ONE definition of the triplets->pairs incidence: closure.design_matrix
+    # (round-4 review: this block was a verbatim copy — an incidence fix
+    # applied to one path would silently diverge the other)
+    A, pairs, trips = design_matrix(n)
     pidx = {p: c for c, p in enumerate(pairs)}
-    trips = list(combinations(range(n), 3))
-    A = np.zeros((len(trips), len(pairs)))
-    for t, (i, j, k) in enumerate(trips):
-        A[t, pidx[(i, j)]] = 1.0
-        A[t, pidx[(j, k)]] = 1.0
-        A[t, pidx[(i, k)]] = -1.0
     # SVD pseudo-inverse, rank-truncated like the reference
     # (closure_inten.py:190-191)
     A_dag = np.linalg.pinv(A) if len(trips) else np.zeros((len(pairs), 0))

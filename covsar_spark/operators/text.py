@@ -35,8 +35,11 @@ EN_STOPWORDS = (
 
 
 def words_col(text_col="text") -> F.Column:
-    """Whitespace tokenization of trimmed text (BPE-ish regex split)."""
-    return F.split(F.trim(F.col(text_col)), WORD_SPLIT)
+    """Whitespace tokenization of trimmed text (BPE-ish regex split).
+    Empty/whitespace-only text yields an EMPTY array — Spark's split returns
+    [""] there, which scored contentless docs n_words=1 / uniq_ratio=1.0
+    (round-4 review); the SQL oracle applies the same empty-token filter."""
+    return F.array_remove(F.split(F.trim(F.col(text_col)), WORD_SPLIT), "")
 
 
 def word_stats(docs: DataFrame) -> DataFrame:
@@ -56,20 +59,23 @@ def quality_score(docs: DataFrame) -> DataFrame:
     (Gopher-style rules, public). Rounded so the float is oracle-stable."""
     w = words_col()
     n_words = F.size(w)
+    # NULL denominators for empty docs: every ratio is undefined (NULL) and
+    # every CASE below scores 0 — a contentless doc gets quality 0
+    den = F.when(n_words > 0, n_words)
     stop = F.size(F.filter(w, lambda x: F.lower(x).isin(*EN_STOPWORDS)))
     uniq = F.size(F.array_distinct(w))
-    mean_len = (F.length(F.regexp_replace(F.trim(F.col("text")), WORD_SPLIT, "")) / n_words)
+    mean_len = (F.length(F.regexp_replace(F.trim(F.col("text")), WORD_SPLIT, "")) / den)
     score = (
         F.when((mean_len >= 3) & (mean_len <= 10), F.lit(1)).otherwise(F.lit(0))
-        + F.when(stop / n_words >= 0.05, F.lit(1)).otherwise(F.lit(0))
-        + F.when(uniq / n_words >= 0.3, F.lit(1)).otherwise(F.lit(0))
+        + F.when(stop / den >= 0.05, F.lit(1)).otherwise(F.lit(0))
+        + F.when(uniq / den >= 0.3, F.lit(1)).otherwise(F.lit(0))
         + F.when(n_words >= 10, F.lit(1)).otherwise(F.lit(0))
     )
     return docs.select(
         "doc_id",
         n_words.alias("n_words"),
-        F.round(stop / n_words, 6).alias("stopword_ratio"),
-        F.round(uniq / n_words, 6).alias("uniq_ratio"),
+        F.round(stop / den, 6).alias("stopword_ratio"),
+        F.round(uniq / den, 6).alias("uniq_ratio"),
         F.round(mean_len, 6).alias("mean_word_len"),
         score.cast("int").alias("quality"),
     )
@@ -78,7 +84,9 @@ def quality_score(docs: DataFrame) -> DataFrame:
 def lang_id(docs: DataFrame) -> DataFrame:
     """n-gram-heuristic language ID: English stopword hit-rate threshold."""
     w = words_col()
-    ratio = F.size(F.filter(w, lambda x: F.lower(x).isin(*EN_STOPWORDS))) / F.size(w)
+    ratio = F.size(F.filter(w, lambda x: F.lower(x).isin(*EN_STOPWORDS))) / F.when(
+        F.size(w) > 0, F.size(w)
+    )
     return docs.select(
         "doc_id",
         F.round(ratio, 6).alias("stopword_ratio"),
@@ -91,16 +99,21 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     (rolling-hash analogue; bigrams make it order-sensitive without
     positional indexing, keeping the SQL oracle exact)."""
     w = words_col()
+    # greatest(.., 0): an empty/1-word doc gives size-1 = -1 or 0, and
+    # slice() raises on negative lengths (ANSI) — clamp to an empty slice
+    n_bg = F.greatest(F.size(w) - 1, F.lit(0))
     bigrams = F.zip_with(
-        F.slice(w, 1, F.size(w) - 1),
-        F.slice(w, 2, F.size(w) - 1),
+        F.slice(w, 1, n_bg),
+        F.slice(w, 2, n_bg),
         lambda a, b: F.concat(a, F.lit(" "), b),
     )
-    exploded = docs.select("doc_id", F.explode(bigrams).alias("bg"))
-    return (
-        exploded.groupBy("doc_id")
-        .agg(F.expr("bit_xor(cast(conv(substring(md5(bg), 1, 15), 16, 10) as bigint))").alias("fp"))
+    exploded = docs.select("doc_id", F.explode(bigrams).alias("bg")).select(
+        "doc_id", md5_int60(F.col("bg")).alias("h")
     )
+    agg = exploded.groupBy("doc_id").agg(F.expr("bit_xor(h)").alias("fp"))
+    # docs with < 2 words have no bigrams: emit an explicit fp=NULL row so
+    # downstream joins keyed on fingerprint output never silently lose them
+    return docs.select("doc_id").join(agg, "doc_id", "left")
 
 
 def ngrams_col(n: int, text_col: str = "text") -> F.Column:
@@ -149,8 +162,12 @@ def repetition_stats(docs: DataFrame) -> DataFrame:
 def tfidf_topterms(docs: DataFrame, k: int = 3) -> DataFrame:
     """Per-doc top-k terms by TF-IDF (smoothed sklearn-style idf =
     ln((N+1)/(df+1)) + 1) — keyword extraction for the training-data
-    pipeline. Ranking uses PURE INTEGER keys (tf desc, df asc, term asc) so
-    engine order is float-drift-free; the reported score is the float.
+    pipeline. Ranking is by the 4dp-ROUNDED score (desc, term asc): ranking
+    by raw tf with df as a mere tie-break (the earlier form) let the idf
+    factor never influence which terms were kept, so stopwords with max tf
+    crowded out rare high-score terms (round-4 review). Rounding before
+    ranking keeps the order engine-deterministic — the same convention the
+    ANN entries use on raw cosine floats.
 
     Scale: tf is one explode+agg on (doc_id, word) — partial-aggregated;
     df is an agg of the tf table (no second scan); N is a 1-row broadcast.
@@ -179,7 +196,7 @@ def tfidf_topterms(docs: DataFrame, k: int = 3) -> DataFrame:
         )
     )
     rk = W.partitionBy("doc_id").orderBy(
-        F.col("tf").desc(), F.col("df").asc(), F.col("term").asc()
+        F.col("score").desc(), F.col("term").asc()
     )
     return (
         scored.withColumn("rank", F.row_number().over(rk))

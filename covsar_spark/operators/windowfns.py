@@ -27,7 +27,14 @@ def cumulative_product(x: Column, w) -> Column:
 
     exp(sum(log|x|)) carries the magnitude; the sign is (-1)^(# negative
     factors so far); any zero factor pins the product (and everything after
-    it) to exactly 0 — the three cases a log-domain product must split."""
+    it) to exactly 0 — the three cases a log-domain product must split.
+
+    NULL factors are SKIPPED (treated as 1.0): sum() ignores the NULL log
+    term and the sign/zero counters score it 0. This is deliberately the
+    SQL AGGREGATE convention — DuckDB's windowed product(), the contract
+    oracle, ignores NULL rows the same way — and differs from np.cumprod,
+    which would poison everything after a NaN. Pinned by
+    tests/test_windowfns.py::test_cumulative_product_null_skips_like_sql."""
     n_zero = F.sum(F.when(x == 0.0, 1).otherwise(0)).over(w)
     n_neg = F.sum(F.when(x < 0.0, 1).otherwise(0)).over(w)
     mag = F.exp(F.sum(F.log(F.when(x == 0.0, F.lit(1.0)).otherwise(F.abs(x)))).over(w))
@@ -83,15 +90,18 @@ def unwrap_phase(
     the 1-D unwrap of a linked/cumulative phase series along time.
 
     Pure window algebra, no UDF: wraps crossed at step i is
-    k_i = ceil((d_i - pi) / (2 pi)) (0 within (-pi, pi], matching
-    np.unwrap's half-open convention), and the correction is the running
-    sum -2 pi * cumsum(k). Both the lag and the cumsum share one
-    (partition, order) sort-shuffle."""
+    k_i = sign(d_i) * ceil((|d_i| - pi) / (2 pi)) — zero on the CLOSED
+    interval [-pi, pi] and sign-preserving at odd multiples of pi, exactly
+    np.unwrap's tie handling (its one-sided ceil((d - pi)/2pi) form mapped
+    d = -pi to a spurious +2pi jump that offset every later value; round-4
+    review — reachable because wrap_phase lands on -pi exactly). The
+    correction is the running sum -2 pi * cumsum(k); the lag and cumsum
+    share one (partition, order) sort-shuffle."""
     import math
 
     w_order = W.partitionBy(*partition_cols).orderBy(*order_cols)
     w_cum = w_order.rowsBetween(W.unboundedPreceding, 0)
     d = F.col(phase_col) - F.lag(phase_col).over(w_order)
-    k = F.ceil((d - math.pi) / (2 * math.pi)).cast("long")
+    k = (F.signum(d) * F.ceil((F.abs(d) - math.pi) / (2 * math.pi))).cast("long")
     total_k = F.sum(F.coalesce(k, F.lit(0))).over(w_cum)
     return df.withColumn(out_col, F.col(phase_col) - 2 * math.pi * total_k)

@@ -77,3 +77,47 @@ def test_unwrap_phase_matches_numpy(spark):
         g = got[got["k"] == key]
         want = np.unwrap(g["ph"].to_numpy())
         np.testing.assert_allclose(g["unwrapped"].to_numpy(), want, atol=1e-9)
+
+
+def test_unwrap_phase_exact_pi_boundary(spark):
+    """d = -pi and d = +pi exactly must NOT jump (np.unwrap keeps both);
+    the one-sided ceil form added a spurious +2pi at d = -pi."""
+    import numpy as np
+    import pandas as pd
+
+    from covsar_spark.operators.windowfns import unwrap_phase
+
+    ph = np.array([0.0, -np.pi, -np.pi + 0.1, 0.1, 0.1 + np.pi])
+    pdf = pd.DataFrame({"k": ["a"] * len(ph), "i": range(len(ph)), "ph": ph})
+    got = (
+        unwrap_phase(spark.createDataFrame(pdf), "ph", ["k"], ["i"])
+        .toPandas().sort_values("i")["unwrapped"].to_numpy()
+    )
+    np.testing.assert_allclose(got, np.unwrap(ph), atol=1e-12)
+
+
+def test_cumulative_product_null_skips_like_sql(spark):
+    """NULL factors are skipped (SQL aggregate convention — DuckDB's
+    windowed product() oracle ignores NULL rows), NOT propagated like
+    np.cumprod's NaN. The behavior is deliberate and must match the oracle
+    engine exactly."""
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from covsar_spark.operators.windowfns import cumulative_product
+
+    pdf = pd.DataFrame({"i": range(5), "x": [2.0, None, -3.0, 0.5, None]})
+    w = W.orderBy("i").rowsBetween(W.unboundedPreceding, 0)
+    got = (
+        spark.createDataFrame(pdf)
+        .withColumn("cp", cumulative_product(F.col("x"), w))
+        .toPandas().sort_values("i")["cp"].to_numpy()
+    )
+    want = duckdb.sql(
+        "SELECT product(x) OVER (ORDER BY i ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+        "FROM (SELECT unnest([0,1,2,3,4]) AS i, unnest([2.0, NULL, -3.0, 0.5, NULL]) AS x)"
+    ).df().iloc[:, 0].to_numpy()
+    np.testing.assert_allclose(got, want, rtol=1e-12)
