@@ -24,7 +24,10 @@ def _tokens_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         F.concat(F.lit("doc-"), F.lpad(F.col("doc_id").cast("string"), 12, "0")).alias("doc_id"),
         tokens.alias("tokens"),
-        F.size(tokens).cast("int").alias("n_tok"),
+        # size of the UNhashed word array — transform preserves length, and
+        # sizing the hashed expression re-evaluated ~100 interpreted md5
+        # lambdas per doc a second time (round-4 review)
+        F.size(words_col()).cast("int").alias("n_tok"),
         "source",
     )
 

@@ -160,7 +160,10 @@ def main():
     from covsar_spark.session import get_spark
 
     spark = get_spark("covsar_bench", cores=CPUS, shuffle_partitions=CPUS)
-    sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in SF_DIR else -1.0
+    try:
+        sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = -1.0  # path merely contains 'sf' without a trailing number
 
     # warm the JVM/Arrow paths once so per-query numbers measure the plan
     spark.read.parquet(f"{SF_DIR}/events.parquet").count()

@@ -51,7 +51,15 @@ def gen_tokens(
     flat = rng.integers(0, VOCAB, size=int(stored.sum()), dtype=np.int32)
     offsets = np.zeros(n_rows + 1, dtype=np.int64)
     np.cumsum(stored, out=offsets[1:])
-    names = SOURCES if n_sources <= len(SOURCES) else [f"s{i:03d}" for i in range(n_sources)]
+    # honor the REQUESTED width exactly: 1..16 slices the named sources
+    # (was silently all 16 — the points/sec denominator lied by up to 2x for
+    # narrow requests; round-4 review); 0 = default full named set
+    if n_sources <= 0:
+        names = SOURCES
+    elif n_sources <= len(SOURCES):
+        names = SOURCES[:n_sources]
+    else:
+        names = [f"s{i:03d}" for i in range(n_sources)]
     w = 1.0 / np.arange(1, len(names) + 1) ** 1.1
     w /= w.sum()
     src_idx = rng.choice(len(names), size=n_rows, p=w)
@@ -66,8 +74,11 @@ def gen_tokens(
 
 
 def _to_arrow(cols: dict) -> pa.Table:
-    tokens = pa.ListArray.from_arrays(
-        pa.array(cols["offsets"], type=pa.int32()),
+    # LargeList (int64 offsets): int32 offsets overflow once total token
+    # count passes 2^31 (~19M payload rows at the lognormal mean) and the
+    # cast raised mid-fixture-write (round-4 review)
+    tokens = pa.LargeListArray.from_arrays(
+        pa.array(cols["offsets"], type=pa.int64()),
         pa.array(cols["flat_tokens"], type=pa.int32()),
     )
     return pa.table(
@@ -88,9 +99,14 @@ GAPS: list[tuple[str, range]] = [
 ]
 
 
-def apply_gaps(cols: dict) -> dict:
-    """Deterministically drop rows landing in the F2 gap windows."""
-    off = stable_ts_offset(cols["doc_id"])
+def apply_gaps(cols: dict, horizon_s: int = HORIZON_S) -> dict:
+    """Deterministically drop rows landing in the F2 gap windows.
+
+    ``horizon_s`` MUST match the horizon the pipeline will run with: gap
+    placement derives from crc32 % horizon, so a fixture gapped at the
+    default 7 days run at a 56-day horizon has its gaps land elsewhere and
+    a gap-fill test silently validates nothing (round-4 review)."""
+    off = stable_ts_offset(cols["doc_id"], horizon_s)
     minute = off // 60
     keep = np.ones(len(off), dtype=bool)
     for src, rng_ in GAPS:
@@ -120,11 +136,12 @@ def write_tokens(
     gappy: bool = False,
     n_sources: int = 0,
     payload_tokens: bool = True,
+    horizon_s: int = HORIZON_S,
 ) -> str:
     """Write the F1 (or F2) table as a parquet dir; returns the path."""
     cols = gen_tokens(n_rows, seed, n_sources=n_sources, payload_tokens=payload_tokens)
     if gappy:
-        cols = apply_gaps(cols)
+        cols = apply_gaps(cols, horizon_s)
     os.makedirs(out_dir, exist_ok=True)
     tbl = _to_arrow(cols)
     # several row groups / files so Spark gets real parallelism on scan

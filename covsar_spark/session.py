@@ -12,6 +12,20 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _shuffle_dir() -> str:
+    """tmpfs shuffle dir only when /dev/shm actually has room: a default
+    64MB container shm passes the bare isdir() check and then fails tasks
+    with ENOSPC mid-run (round-4 review). Requires >= 2 GiB free."""
+    try:
+        import shutil
+
+        if os.path.isdir("/dev/shm") and shutil.disk_usage("/dev/shm").free >= 2 << 30:
+            return "/dev/shm/spark-tmp"
+    except OSError:
+        pass
+    return "/tmp"
+
+
 def get_spark(
     app_name: str = "covsar_spark",
     cores: int | None = None,
@@ -25,7 +39,8 @@ def get_spark(
     2-3x total executor cores; AQE coalesces down when partitions run small.
     """
     if cores is None:
-        cores = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+        env_cpus = os.environ.get("SPARK_GRAFT_CPUS", "").strip()
+        cores = (int(env_cpus) if env_cpus else 0) or os.cpu_count() or 4
     if shuffle_partitions is None:
         shuffle_partitions = max(cores, 8)
 
@@ -58,10 +73,7 @@ def get_spark(
         .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         # local mode: shuffle through tmpfs when present (a real cluster sets
         # its own local dirs; this only affects the sandbox benchmarks)
-        .config(
-            "spark.local.dir",
-            "/dev/shm/spark-tmp" if os.path.isdir("/dev/shm") else "/tmp",
-        )
+        .config("spark.local.dir", _shuffle_dir())
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

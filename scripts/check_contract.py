@@ -87,7 +87,10 @@ def main():
     con = duck_conn()
     n_ok = 0
     for name in names:
-        fn = contract.QUERIES[name]
+        fn = contract.QUERIES.get(name)
+        if fn is None:
+            print(f"FAIL {name}: unknown query name")
+            continue
         t0 = time.time()
         try:
             got = fn(spark, SF_DIR).toPandas()

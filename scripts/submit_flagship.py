@@ -50,7 +50,13 @@ def main() -> None:
         persist=True,
         horizon_s=args.horizon_days * 86400,
     )
-    wanted = args.tiers.split(",")
+    wanted = [t.strip() for t in args.tiers.split(",") if t.strip()]
+    unknown = [t for t in wanted if t not in tiers]
+    if unknown:
+        raise SystemExit(
+            f"unknown tier(s) {unknown}; valid: {sorted(tiers)} "
+            "(validated BEFORE any output is written)"
+        )
     points = 0
     for tier, d in tiers.items():
         if tier not in wanted:
