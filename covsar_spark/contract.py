@@ -1512,13 +1512,14 @@ def ann_cosine_topk(spark, sf_dir):
     """,
 )
 def embedding_norms(spark, sf_dir):
+    # ONE definition of the dot/norm fold (similarity._norm): the oracle's
+    # list_inner_product must stay float-identical to this exact
+    # cast/init/accumulation order, so no inline copies
     emb = _read(spark, sf_dir, "embeddings")
-    dot = F.aggregate(
-        F.zip_with("embedding", "embedding", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    return emb.select(
+        "vec_id", "label",
+        F.round(sim_ops._norm(F.col("embedding")), 4).cast("double").alias("norm"),
     )
-    return emb.select("vec_id", "label", F.round(F.sqrt(dot), 4).cast("double").alias("norm"))
 
 
 # ---------------------------------------------------------------------------
@@ -1770,7 +1771,7 @@ def ann_ivf_topk(spark, sf_dir):
     FROM cand c
     JOIN e ea ON ea.vec_id = c.id_a
     JOIN e eb ON eb.vec_id = c.id_b
-    WHERE list_cosine_similarity(ea.v, eb.v) >= 0.35
+    WHERE round(list_cosine_similarity(ea.v, eb.v), 6) >= 0.35
     """,
 )
 def near_dup_lsh_q(spark, sf_dir):
@@ -2110,13 +2111,15 @@ def intensity_db(spark, sf_dir):
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
            (a.label = b.label) AS same_label
     FROM e a JOIN e b ON a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+    WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.35
     """,
 )
 def near_dup_cosine(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (threshold 0.35) via broadcast
-    block matmul (see operators/similarity.near_dup_pairs: the pair-join
-    formulation ships O(pairs x dim) bytes through Arrow)."""
+    """Embedding-cosine near-duplicate pairs (threshold 0.35) via DISTRIBUTED
+    block matmul — blocks attach to the bare-int pair table by SHUFFLE
+    equi-joins; nothing vector-sized is ever broadcast (the broadcast
+    formulation was removed in r3 as a scale memory bomb — see
+    operators/similarity.near_dup_pairs)."""
     from covsar_spark.operators.similarity import near_dup_pairs
 
     return near_dup_pairs(_read(spark, sf_dir, "embeddings"), threshold=0.35)

@@ -93,13 +93,17 @@ def jaccard_verified(docs: DataFrame, k: int = 3, threshold: float = 0.1) -> Dat
     inside buckets and would blow the driver/executor broadcast limit. AQE
     still auto-broadcasts when the candidate table genuinely fits."""
     cand = lsh_candidates(docs, k=k)
-    sh = shingles(docs, k)
+    # the intersection join keys on the 60-bit shingle hash like
+    # jaccard_pairs (8-byte keys, ~5x fewer shuffle bytes than 3-gram
+    # strings; collisions ~(D^2)/2^61 — round-4 review: the production
+    # path had missed the optimization applied to the bounded baseline)
+    sh = shingles(docs, k).select("doc_id", md5_int60(F.col("shingle")).alias("h"))
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
-    b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    a = sh.select(F.col("doc_id").alias("doc_a"), "h")
+    b = sh.select(F.col("doc_id").alias("doc_b"), "h")
     inter = (
         a.join(cand, "doc_a")
-        .join(b, ["doc_b", "shingle"])
+        .join(b, ["doc_b", "h"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )
@@ -118,6 +122,20 @@ def jaccard_verified(docs: DataFrame, k: int = 3, threshold: float = 0.1) -> Dat
     return j.filter(F.col("jaccard") >= threshold).select("doc_a", "doc_b", "n_common", "jaccard")
 
 
+def _signature_wide(docs: DataFrame, n_hashes: int, k: int) -> DataFrame:
+    """(doc_id, m0..m{n-1}): the single-pass wide minhash signature frame —
+    ONE definition of the block both minhash_signatures and lsh_candidates
+    (and their SQL oracles) must reproduce bit-for-bit (round-4 review:
+    the aggregate list was duplicated verbatim)."""
+    params = minhash_params(n_hashes)
+    sh = shingles(docs, k).withColumn("h", md5_int40(F.col("shingle")))
+    aggs = [
+        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MINHASH_PRIME))).alias(f"m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
 def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES, k: int = 3) -> DataFrame:
     """(doc_id, hash_id, minhash): min over shingles of (a*h + b) mod p,
     h = md5-derived 40-bit shingle hash.
@@ -127,13 +145,7 @@ def minhash_signatures(docs: DataFrame, n_hashes: int = N_HASHES, k: int = 3) ->
     map-side), then unpivoted JVM-side with `stack`. The param-cross-join
     formulation shuffled rows x n_hashes and cost ~2x (5.0s -> measured
     faster at sf0.1); results are identical."""
-    params = minhash_params(n_hashes)
-    sh = shingles(docs, k).withColumn("h", md5_int40(F.col("shingle")))
-    aggs = [
-        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MINHASH_PRIME))).alias(f"m{i}")
-        for i, (a, b) in enumerate(params)
-    ]
-    g = sh.groupBy("doc_id").agg(*aggs)
+    g = _signature_wide(docs, n_hashes, k)
     stack = ", ".join(f"{i}, m{i}" for i in range(n_hashes))
     return g.select(
         "doc_id",
@@ -149,13 +161,7 @@ def lsh_candidates(docs: DataFrame, n_hashes: int = N_HASHES, bands: int = LSH_B
     the grouped string_agg formulation bit-for-bit but skips a whole
     re-shuffle of exploded signature rows (measured 7.4s -> ~3s at sf0.1)."""
     rows_per_band = n_hashes // bands
-    params = minhash_params(n_hashes)
-    sh = shingles(docs, k).withColumn("h", md5_int40(F.col("shingle")))
-    aggs = [
-        F.min(F.pmod(F.lit(a) * F.col("h") + F.lit(b), F.lit(MINHASH_PRIME))).alias(f"m{i}")
-        for i, (a, b) in enumerate(params)
-    ]
-    g = sh.groupBy("doc_id").agg(*aggs)
+    g = _signature_wide(docs, n_hashes, k)
     band_structs = [
         F.struct(
             F.lit(bb).alias("band"),

@@ -62,14 +62,20 @@ def calendar_grid(rollup: DataFrame, tier: str) -> DataFrame:
             )
         ).alias("c"),
     ).repartition(n_part)
+    # chunk slots live on the SOURCE's lattice lo + k*tier_s, not on absolute
+    # multiples of tier_s: for off-lattice inputs (lo % tier_s != 0 — e.g. a
+    # grid produced under another anchor) the absolute form shifted every
+    # chunk after the first, silently matching zero observed rows (round-4
+    # review). off re-anchors each chunk start; the stop carries the same
+    # offset so consecutive chunks partition the lattice without gaps.
+    off = F.pmod(F.col("lo") - F.col("c"), F.lit(tier_s))
+    start = F.greatest(F.col("c") + off, F.col("lo"))
+    stop = F.least(F.col("c") + off + (chunk_s - tier_s), F.col("hi"))
     return chunks.select(
         "source",
         F.explode(
-            F.sequence(
-                F.greatest("c", "lo"),
-                F.least(F.col("c") + (chunk_s - tier_s), F.col("hi")),
-                F.lit(tier_s),
-            )
+            F.when(start <= stop, F.sequence(start, stop, F.lit(tier_s)))
+            .otherwise(F.array().cast("array<long>"))
         ).alias("epoch_s"),
     )
 

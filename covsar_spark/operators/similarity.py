@@ -14,9 +14,10 @@
   (collect_list per block — a shuffle, never a driver collect), the B(B+1)/2
   unordered block pairs are enumerated as a tiny broadcast table of bare int
   ids, vector blocks attach via shuffle equi-joins on blk, and each
-  block-pair task runs one gemm. Memory per task is bounded by the block
-  size (auto-derived <=64 MB) and nothing vector-sized is ever broadcast —
-  no driver state, no per-executor corpus copy.
+  block-pair task runs one gemm. Per-task memory is bounded by the GEMM
+  OUTPUT (rows capped at sqrt(budget/8) per block, sims <=64 MB) and
+  nothing vector-sized is ever broadcast — no driver state, no
+  per-executor corpus copy.
 - `near_dup_lsh`: the sub-quadratic variant — LSH bucket candidates verified
   with the exact Arrow cosine (`pair_cosine`).
 """
@@ -92,22 +93,30 @@ PLANE_SCALE = 1000  # integer coefficients in [-1000, 1000]
 QUANT = 1_000_000.0  # embedding quantization: q[d] = floor(x[d] * 1e6)
 
 
+def _md5_int_matrix(tag: str, seed: int, n: int, dim: int) -> np.ndarray:
+    """ONE definition of the md5-derived integer coefficient matrix BOTH SQL
+    oracles replay bit-for-bit:
+    ``('0x' || substr(md5('tag|seed|i|d'), 1, 10))::BIGINT % 2001 - 1000``.
+    hyperplanes (LSH) and ivf_centroids differ only in tag/seed — keeping
+    the derivation in one place means a width/scale tweak cannot
+    desynchronize one oracle while the other keeps passing (round-4
+    review)."""
+    import hashlib
+
+    c = np.empty((n, dim), dtype=np.int64)
+    for i in range(n):
+        for d in range(dim):
+            h = int(hashlib.md5(f"{tag}|{seed}|{i}|{d}".encode()).hexdigest()[:10], 16)
+            c[i, d] = h % (2 * PLANE_SCALE + 1) - PLANE_SCALE
+    return c
+
+
 def hyperplanes(dim: int, n_planes: int = 12, seed: int = 123) -> np.ndarray:
-    """Deterministic INTEGER hyperplanes from md5 arithmetic — the same
-    values an SQL engine derives as
-    ``('0x' || substr(md5('lshplane|seed|p|d'), 1, 10))::BIGINT % 2001 - 1000``,
-    so bucket assignment is exactly replayable by the DuckDB oracle (the
+    """Deterministic INTEGER hyperplanes (see _md5_int_matrix; the
     `minhash_params` trick, dedup.py). Uniform symmetric coefficients give
     the same sign-of-projection LSH guarantees as Gaussian planes for
     angular similarity (Charikar SimHash family)."""
-    import hashlib
-
-    c = np.empty((n_planes, dim), dtype=np.int64)
-    for p in range(n_planes):
-        for d in range(dim):
-            h = int(hashlib.md5(f"lshplane|{seed}|{p}|{d}".encode()).hexdigest()[:10], 16)
-            c[p, d] = h % (2 * PLANE_SCALE + 1) - PLANE_SCALE
-    return c
+    return _md5_int_matrix("lshplane", seed, n_planes, dim)
 
 
 def lsh_bucket_udf(n_planes: int = 8, seed: int = 123):
@@ -189,14 +198,7 @@ def ivf_centroids(dim: int, n_lists: int = 16, seed: int = 77) -> np.ndarray:
     """Deterministic INTEGER centroid directions from md5 arithmetic — the
     SQL-replayable analogue of the seeded-Gaussian quantizer (same derivation
     as `hyperplanes`, key 'ivfcent|seed|l|d')."""
-    import hashlib
-
-    c = np.empty((n_lists, dim), dtype=np.int64)
-    for li in range(n_lists):
-        for d in range(dim):
-            h = int(hashlib.md5(f"ivfcent|{seed}|{li}|{d}".encode()).hexdigest()[:10], 16)
-            c[li, d] = h % (2 * PLANE_SCALE + 1) - PLANE_SCALE
-    return c
+    return _md5_int_matrix("ivfcent", seed, n_lists, dim)
 
 
 def ivf_assign_udf(n_lists: int = 16, seed: int = 77, top: int = 1):
@@ -287,27 +289,26 @@ def near_dup_pairs(
     blocks and runs one gemm, emitting only over-threshold (id_a < id_b)
     pairs. Every unordered vector pair lands in exactly one block-pair task.
 
-    Scale: per-task memory = 2 x block_size x dim doubles. ``n_blocks`` is
-    derived from the corpus by default — one cheap count+dim aggregate at
-    plan-build sizes each packed block at <= ``target_block_bytes`` (64 MB),
-    so a packed collect_list row never approaches Arrow's 2 GB row limit no
-    matter the corpus (a fixed B would). Blocking never changes the output,
-    only task granularity. Inherently O(n^2) work — this is the exact
-    verifier; `near_dup_lsh` is the sub-quadratic scale path.
+    Scale: the per-task memory driver is NOT the two packed blocks but the
+    rows_a x rows_b GEMM OUTPUT (round-4 review: byte-based sizing allowed
+    ~131k-row blocks whose sims matrix alone is ~137 GB), so ``n_blocks``
+    bounds ROWS per block at sqrt(target_block_bytes / 8) — the sims matrix
+    then stays <= ``target_block_bytes`` (64 MB -> <=2896 rows/block, packed
+    block ~1.5 MB at dim 64, far under Arrow's 2 GB row limit). Blocking
+    never changes the output, only task granularity. Inherently O(n^2)
+    work — this is the exact verifier; `near_dup_lsh` is the sub-quadratic
+    scale path.
     """
     if n_blocks is None:
         # the sizing count is a tiny Spark job that runs at EVERY plan build
-        # on purpose: it is the guard that keeps packed collect_list rows
-        # under Arrow's 2 GB row limit, and any memoization (plan hash, DF
-        # identity) goes stale the moment the files at the source path
-        # change — re-reading the same path after an append would reuse an
-        # under-sized n_blocks, the exact blow-up the sizing prevents.
-        # Callers looping over a known corpus skip it via ``n_blocks``.
-        n, dim = emb.agg(
-            F.count(F.lit(1)), F.min(F.size(F.col("embedding")))
-        ).first()
-        corpus_bytes = int(n or 0) * int(dim or 0) * 8
-        n_blocks = max(1, -(-corpus_bytes // target_block_bytes))
+        # on purpose: any memoization (plan hash, DF identity) goes stale
+        # the moment the files at the source path change — re-reading the
+        # same path after an append would reuse an under-sized n_blocks,
+        # the exact blow-up the sizing prevents. Callers looping over a
+        # known corpus skip it via ``n_blocks``.
+        n = int(emb.agg(F.count(F.lit(1))).first()[0] or 0)
+        max_rows = max(1, int((target_block_bytes / 8) ** 0.5))
+        n_blocks = max(1, -(-n // max_rows))
     packed = (
         emb.select("vec_id", "embedding", "label", F.pmod(F.col("vec_id"), F.lit(n_blocks)).alias("blk"))
         .groupBy("blk")
@@ -331,8 +332,13 @@ def near_dup_pairs(
             packed.select(F.col("blk").alias("blk_b"), F.col("items").alias("items_b")),
             "blk_b",
         )
-        # spread the B(B+1)/2 tasks across executors
-        .repartition("blk_a", "blk_b")
+        # spread the B(B+1)/2 tasks across executors; sizing the partition
+        # COUNT to ~the pair count keeps each task (and therefore each
+        # Arrow batch the mapInPandas receives as one pandas frame) down to
+        # a few block pairs — with the default hash partitioning many pairs
+        # could land in one partition and all materialize in a single pdf
+        # (round-4 review)
+        .repartition(min(n_blocks * (n_blocks + 1) // 2, 4096), "blk_a", "blk_b")
     )
 
     def op(it):
@@ -353,7 +359,10 @@ def near_dup_pairs(
                 A /= np.linalg.norm(A, axis=1, keepdims=True)
                 B /= np.linalg.norm(B, axis=1, keepdims=True)
                 sims = A @ B.T
-                mask = sims >= threshold
+                # round-then-compare (suite convention): an unrounded
+                # threshold lets a 1-ulp einsum-vs-sequential-sum gap
+                # at the boundary emit a pair in one engine only
+                mask = np.round(sims, 6) >= threshold
                 if diag:
                     # within a block, keep the upper triangle only
                     mask &= ia[:, None] < ib[None, :]
@@ -426,7 +435,7 @@ def near_dup_lsh(
         cand.join(ea, "id_a")
         .join(eb, "id_b")
         .withColumn("sim", pair_cosine(F.col("va"), F.col("vb")))
-        .filter(F.col("sim") >= threshold)
+        .filter(F.round(F.col("sim"), 6) >= threshold)
     )
     return verified.select(
         "id_a", "id_b", (F.col("label_a") == F.col("label_b")).alias("same_label")

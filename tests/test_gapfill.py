@@ -47,3 +47,24 @@ def test_gap_windows_are_filled_with_lineage(spark, tiny_gappy_cols):
     for src, g in filled.groupby("source"):
         eps = np.sort(g["epoch_s"].to_numpy())
         assert np.array_equal(eps, np.arange(eps[0], eps[-1] + 1, 60))
+
+
+def test_calendar_grid_off_lattice_anchor(spark):
+    """Epochs congruent to lo mod tier_s (lo NOT a multiple of tier_s) must
+    produce exactly the lo..hi lattice across chunk boundaries — the
+    absolute-multiple chunk anchoring shifted every chunk after the first
+    (round-4 review)."""
+    import pandas as pd
+
+    from covsar_spark.operators.gapfill import CHUNK_STEPS, calendar_grid
+    from covsar_spark.schemas import TIERS
+
+    tier_s = TIERS["1m"]
+    lo = 1_767_225_600 + 17  # off-lattice anchor
+    n = CHUNK_STEPS * 2 + 5  # spans 3 chunks
+    epochs = [lo + k * tier_s for k in range(n)]
+    pdf = pd.DataFrame({"source": ["a"] * 2, "epoch_s": [epochs[0], epochs[-1]],
+                        "token_count": [1, 2]})
+    grid = calendar_grid(spark.createDataFrame(pdf), "1m").toPandas()
+    got = sorted(grid["epoch_s"].astype(int))
+    assert got == epochs, (len(got), len(epochs), got[:3], epochs[:3])
