@@ -88,6 +88,7 @@ BENCH_QUERIES = [
     "nl_phase_fit_1m",
     "nearest_point",
     "ann_lsh_topk",
+    "ann_lsh_q100",
     "multimodal_features",
     "multimodal_frames",
     "multimodal_resize",

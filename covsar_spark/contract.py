@@ -1469,11 +1469,16 @@ def unigram_logprob_q(spark, sf_dir):
 )
 def token_packing(spark, sf_dir):
     """Greedy deterministic sequence packing into 2048-token training bins
-    (per-source doc order, running-offset bin assignment) — one window pass
-    + one grouped aggregate."""
+    (per-source doc order, running-offset bin assignment), running the
+    SALTED two-level prefix-sum path (round 5): chunks of 256 docs by the
+    numeric doc-id suffix (monotone in the zero-padded string order), local
+    cumsums parallel per chunk, offsets from a per-source window over chunk
+    totals. The oracle replays the single-window form — equality is exact
+    by integer-cumsum associativity."""
     from .operators.tokens import pack_sequences
 
-    return pack_sequences(_tokens(spark, sf_dir), capacity=2048)
+    chunk = F.floor(F.substring("doc_id", 5, 12).cast("long") / 256)
+    return pack_sequences(_tokens(spark, sf_dir), capacity=2048, chunk=chunk)
 
 
 # ---------------------------------------------------------------------------
@@ -1661,9 +1666,12 @@ def tier_cascade_1h(spark, sf_dir):
     )
 
 
-@register(
-    "ann_lsh_topk",
-    """
+def _ann_lsh_sql(nq: int) -> str:
+    """Shared oracle template for the multi-probe LSH ANN — `ann_lsh_topk`
+    (nq=5, the oracle-parity entry) and `ann_lsh_q100` (nq=100, the
+    production-query-volume evidence line for the pair_cosine gemm ranking)
+    differ ONLY in the query count, so one template keeps them in sync."""
+    return f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     u AS (SELECT vec_id, g.d AS d, floor(v[g.d + 1] * 1000000)::BIGINT AS q
           FROM e, generate_series(0, 63) g(d)),
@@ -1675,14 +1683,14 @@ def tier_cascade_1h(spark, sf_dir):
              FROM u JOIN coef c ON c.d = u.d GROUP BY 1, 2),
     bk AS (SELECT vec_id, sum(CASE WHEN s > 0 THEN (1::BIGINT << p) ELSE 0 END)::BIGINT AS bucket
            FROM proj GROUP BY 1),
-    qp AS (SELECT vec_id AS query_id, bucket FROM bk WHERE vec_id < 5
+    qp AS (SELECT vec_id AS query_id, bucket FROM bk WHERE vec_id < {nq}
            UNION
            SELECT b.vec_id, xor(b.bucket, 1::BIGINT << i.i)
-           FROM bk b, generate_series(0, 7) i(i) WHERE b.vec_id < 5
+           FROM bk b, generate_series(0, 7) i(i) WHERE b.vec_id < {nq}
            UNION
            SELECT b.vec_id, xor(b.bucket, xor(1::BIGINT << i.i, 1::BIGINT << j.j))
            FROM bk b, generate_series(0, 7) i(i), generate_series(0, 7) j(j)
-           WHERE b.vec_id < 5 AND j.j > i.i),
+           WHERE b.vec_id < {nq} AND j.j > i.i),
     cand AS (SELECT DISTINCT qp.query_id, c.vec_id AS neighbor_id
              FROM qp JOIN bk c ON c.bucket = qp.bucket
              WHERE c.vec_id <> qp.query_id),
@@ -1695,8 +1703,10 @@ def tier_cascade_1h(spark, sf_dir):
                                     ORDER BY sim DESC, neighbor_id) AS rank
           FROM s)
     SELECT query_id, rank::BIGINT AS rank, neighbor_id FROM r WHERE rank <= 10
-    """,
-)
+    """
+
+
+@register("ann_lsh_topk", _ann_lsh_sql(5))
 def ann_lsh_topk(spark, sf_dir):
     """Multi-probe LSH ANN with an EXACT oracle: hyperplanes are
     deterministic md5-derived integers and the sign-of-projection runs in
@@ -1704,6 +1714,17 @@ def ann_lsh_topk(spark, sf_dir):
     operators/similarity.hyperplanes), so DuckDB replays bucket assignment
     bit-for-bit and the exact cosine ranking inside the probed buckets."""
     r = sim_ops.lsh_topk(_read(spark, sf_dir, "embeddings"), n_queries=5, k=10)
+    return r.withColumn("rank", F.col("rank").cast("long"))
+
+
+@register("ann_lsh_q100", _ann_lsh_sql(100))
+def ann_lsh_q100(spark, sf_dir):
+    """`ann_lsh_topk` at production query volume (n_queries=100): the
+    driver-verified evidence that candidate ranking via the `pair_cosine`
+    Arrow gemm (round-5 change, operators/similarity.py) stays exact when
+    the candidate set is 20x larger, and bench.py's timing line for the
+    gemm-vs-interpreted-fold win the round-4 verdict asked for."""
+    r = sim_ops.lsh_topk(_read(spark, sf_dir, "embeddings"), n_queries=100, k=10)
     return r.withColumn("rank", F.col("rank").cast("long"))
 
 
@@ -2234,6 +2255,76 @@ def lc_window_stats(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Driver-cap pressure relief (round-4 verdict #5): ONE in-cap entry whose
+# rows are per-entry (n_rows, integer checksum) summaries of demoted
+# siblings, so a single driver row carries fresh external hash evidence for
+# many operators that no longer fit inside the 50-slot cap. Both sides are
+# COMPOSED from the siblings' own registered definitions (Spark: the
+# QUERIES[...] callable; oracle: the stored ORACLE[...] SQL wrapped in an
+# outer aggregate), so this entry can never drift from what the siblings
+# actually compute.
+#
+# The checksum is dialect-shared SQL (valid verbatim in Spark SQL and
+# DuckDB): integer columns summed directly, floats — already rounded to
+# 4/6 dp by each sibling's own contract — lifted to exact integers via
+# cast(round(v * 10^dp, 0) as bigint). Ties in round(x, 0) agree across
+# engines (Java HALF_UP and C round() both round away from zero), and all
+# sums stay far below 2^63. Nullable components are coalesced so no row
+# silently drops out of the sum.
+# ---------------------------------------------------------------------------
+
+_SUITE_ROWEXPR = {
+    "running_sum": "coalesce(cast(round(running * 10000, 0) as bigint), 0)"
+                   " + user_id + event_id",
+    "lag_diff": "coalesce(cast(round(diff * 10000, 0) as bigint), 0)"
+                " + user_id + event_id",
+    "rollup_1d_cascade": "token_count + epoch_s"
+                         " + coalesce(cast(round(sum_value * 10000, 0) as bigint), 0)"
+                         " + length(source)",
+    "gapfill_ffill_1m": "epoch_s + coalesce(cast(round(rate * 1000000, 0) as bigint), 0)"
+                        " + (case when filled then 1 else 0 end) + length(source)",
+    "json_extract": "coalesce(k_mod, -1) + n"
+                    " + coalesce(cast(round(sum_value * 10000, 0) as bigint), 0)",
+    "jaccard_pairs": "doc_a + doc_b + n_common"
+                     " + cast(round(jaccard * 1000000, 0) as bigint)",
+    "embedding_norms": "vec_id + label + cast(round(norm * 10000, 0) as bigint)",
+    "quality_score": "doc_id + n_words + quality"
+                     " + coalesce(cast(round(stopword_ratio * 1000000, 0) as bigint), 0)"
+                     " + coalesce(cast(round(uniq_ratio * 1000000, 0) as bigint), 0)"
+                     " + coalesce(cast(round(mean_word_len * 1000000, 0) as bigint), 0)",
+}
+
+_SUITE_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT '{n}' AS entry, count(*)::BIGINT AS n_rows,"
+    f" cast(sum({e}) as bigint) AS chk FROM ({ORACLE[n]})"
+    for n, e in _SUITE_ROWEXPR.items()
+)
+
+
+@register("demoted_suite", _SUITE_ORACLE)
+def demoted_suite(spark, sf_dir):
+    """Suite checksum over 8 demoted oracle entries (see _SUITE_ROWEXPR):
+    one row per sibling with its row count and integer checksum, computed by
+    running the sibling's OWN registered Spark query and folding its output
+    through the shared dialect expression."""
+    from functools import reduce
+
+    parts = []
+    for name, rowexpr in _SUITE_ROWEXPR.items():
+        d = QUERIES[name](spark, sf_dir)
+        agg = (
+            d.select(F.expr(rowexpr).alias("rc"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("rc").cast("long").alias("chk"),
+            )
+            .select(F.lit(name).alias("entry"), "n_rows", "chk")
+        )
+        parts.append(agg)
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+# ---------------------------------------------------------------------------
 # Driver-facing ordering.
 #
 # The verification driver checks only the FIRST 50 entries of queries() (r02
@@ -2251,33 +2342,24 @@ def lc_window_stats(spark, sf_dir):
 # New oracle-bearing registrations land in tier 2 automatically.
 # ---------------------------------------------------------------------------
 
-# Never driver-verified (r1 FAIL or past the r2 cap) + the r2 hash-FAIL fix.
+# Round-5 rotation (r4 verdict #1): every entry below either has NO green
+# driver row since r1-r3 (displaced past the cap by the r3/r4 oracle
+# graduations) or is brand new this round. The r4 graduates they displace
+# rotate out WITH their fresh green rows banked (see DRIVER_DEMOTED).
 DRIVER_PRIORITY = [
-    "codec_roundtrip",
-    "tier_cascade_1h",
-    "gapfill_linear_1m",
-    "near_dup_cosine",
-    "high_pass_ratio",
-    "decimation",
-    "collect_epochs",
-    "intensity_db",
-    "running_product",
-    "ann_lsh_topk",          # r4: exact md5-plane oracle (was structurally rows-only)
-    "multimodal_features",   # r4: docs-derived md5-chain payloads, exact oracle
-    # new round-4 oracle entries — no driver row yet
-    "nearest_point",
-    "ann_ivf_topk",          # r4: exact md5-centroid oracle (was rows-only)
-    "near_dup_lsh",          # r4: exact md5-plane candidate oracle (was rows-only)
-    "multimodal_frames",     # r4: REAL Y4M per-frame decode, exact oracle
-    "multimodal_resize",     # r4: resized P6 rebuilt byte-for-byte in SQL
-    "multimodal_audio_stats",  # r4: exact int-derived RMS/ZCR oracle
-    # new round-3 oracle entries — no driver row yet
-    "gapfill_cross_1m",
-    "lc_window_stats",
-    "repetition_stats",
-    "tfidf_topterms",
-    "boilerplate_ngrams",
-    "phase_unwrap",
+    # demoted r4, last driver-green r1-r3 — rotated back in for freshness
+    "ann_cosine_topk",
+    "unigram_logprob",
+    "token_packing",
+    "vocab_topk",
+    "lang_id",
+    "fingerprint",
+    "topk_per_group",
+    "word_stats",
+    "value_histogram",
+    # new round-5 oracle entries — no driver row yet
+    "ann_lsh_q100",      # gemm-ranked LSH at production query volume
+    "demoted_suite",     # per-entry checksums over 8 demoted siblings
 ]
 
 # Oracle-bearing entries that are weaker variants of an in-cap sibling:
@@ -2288,37 +2370,22 @@ DRIVER_PRIORITY = [
 # interferogram's math/complex path), jaccard_pairs (bounded baseline of
 # jaccard_verified), embedding_norms (array fold, by ann_cosine_topk),
 # quality_score (text-quality fractions, by word_stats + lang_id +
-# repetition_stats), topk_per_group (top-k-per-group window, by
-# tfidf_topterms which ranks with the same row_number pattern), word_stats
-# (per-doc token counting, by tfidf_topterms' tf + repetition_stats),
-# value_histogram (binned distribution summary, by percentile_summary's
-# exact quantiles), ann_cosine_topk (r4: exact cosine ranking now also
-# driver-verified via ann_lsh_topk's in-bucket ranking + near_dup_cosine;
-# green driver rows r1-r3).
+# repetition_stats), json_extract (scalar surface, by interferogram's
+# math/complex path).
 # Every entry here is re-verified against its oracle EVERY pytest run
 # (tests/test_contract_ordering.py::test_demoted_entries_still_pass_their_oracles),
-# so demotion no longer means regressions are invisible.
-# unigram_logprob and token_packing (green driver rows r1-r3) were displaced
-# by the round-4 oracle graduations (ann_ivf_topk, near_dup_lsh,
-# nearest_point): their signal — explode+partial-agg token counting and
-# per-source window packing — stays in-cap via vocab_topk, tfidf_topterms,
-# and running_product.
-# vocab_topk joins unigram_logprob/token_packing in the demoted set (r4):
-# its explode + partial-agg + global-topk signal is in-cap via
-# tfidf_topterms and boilerplate_ngrams. lang_id and fingerprint (green
-# driver rows since r1) follow for the r4 multimodal oracle graduations:
-# their codegen'd text-scalar signal stays in-cap via repetition_stats,
-# tfidf_topterms, and the md5-hash paths of dedup_exact/minhash_signatures.
+# so demotion no longer means regressions are invisible — and the 8
+# _SUITE_ROWEXPR entries additionally keep an in-cap external checksum row
+# via `demoted_suite`.
+# Round-5 rotation: the r3/r4 oracle graduates below (ann_lsh_topk,
+# ann_ivf_topk, near_dup_lsh, nearest_point, the four multimodal entries,
+# gapfill_cross_1m, boilerplate_ngrams, phase_unwrap) banked fresh green
+# driver rows in CORRECTNESS_r03/r04 and rotate out to make cap room for
+# the entries whose last driver row is r1-r3 (see DRIVER_PRIORITY); their
+# signal stays externally covered by in-cap siblings (ann_lsh_q100 for the
+# ANN family, gapfill_zero/linear_1m for gap-fill, repetition_stats/
+# tfidf_topterms for the text family) plus the per-pytest oracle re-check.
 DRIVER_DEMOTED = [
-    "ann_cosine_topk",
-    "unigram_logprob",
-    "token_packing",
-    "vocab_topk",
-    "lang_id",
-    "fingerprint",
-    "topk_per_group",
-    "word_stats",
-    "value_histogram",
     "running_sum",
     "lag_diff",
     "rollup_1d_cascade",
@@ -2327,6 +2394,18 @@ DRIVER_DEMOTED = [
     "jaccard_pairs",
     "embedding_norms",
     "quality_score",
+    # rotated out round 5 with green r3/r4 rows banked
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "near_dup_lsh",
+    "nearest_point",
+    "multimodal_features",
+    "multimodal_frames",
+    "multimodal_resize",
+    "multimodal_audio_stats",
+    "gapfill_cross_1m",
+    "boilerplate_ngrams",
+    "phase_unwrap",
 ]
 
 

@@ -171,6 +171,12 @@ def nearest_point_join(
     `min(struct(dist2, id))` per query reduces to n_q x n_partitions rows
     through the exchange — the same plan shape at 100 TB of candidates.
     Struct ordering is lexicographic, so min() IS the tie-broken argmin.
+
+    Empty-candidate behavior: with zero candidate rows the inner groupBy
+    emits NO row for any query (the query simply disappears from the
+    output, rather than surfacing a NULL nn_id) — the SQL oracle behaves
+    identically, so parity holds. Callers that need one-row-per-query
+    semantics should left-join `queries` back on `query_id_col`.
     """
     q = queries.select(
         F.col(query_id_col),

@@ -47,10 +47,14 @@ def nl_fit_stack(
     """Vectorized estimate_s over a (B, P) stack of complex phases PH and
     real regressors X. Returns (s_grid, s_fit, n_iter, resid_l1) each (B,).
 
-    Matches the reference per-series loop exactly: a converged row stops
-    updating, so batch results equal the one-at-a-time run by construction.
-    Rows with J^T J ~ 0 (constant intensity) keep the grid argmin and report
-    0 iterations.
+    Matches the reference per-series loop exactly — including the iteration
+    count convention: grad_descent (nl_phase.py:57-71) returns the 0-based
+    loop index at convergence (= GN updates performed - 1) and ``maxi`` when
+    the loop exhausts, so converged rows here report updates-1 while
+    non-converged rows report maxi. A converged row stops updating, so
+    batch results equal the one-at-a-time run by construction. Rows with
+    J^T J ~ 0 (constant intensity) keep the grid argmin and report 0
+    iterations.
     """
     B, P = PH.shape
     grid = np.linspace(s0 - rnge, s0 + rnge, grid_n)
@@ -77,6 +81,10 @@ def nl_fit_stack(
         n_iter = np.where(active, n_iter + 1, n_iter)
         m = m_new
         active = active & ~(moved & (rel < tol))
+    # reference convention: grad_descent returns the 0-based loop index at
+    # convergence, i.e. updates-1; non-converged rows return maxi (= updates)
+    converged = fittable & ~active
+    n_iter = np.where(converged, n_iter - 1, n_iter)
     r_final = np.angle(np.exp(1j * m[:, None] * X) * conj)
     resid_l1 = np.abs(r_final).sum(axis=1)
     return s_grid, m, n_iter, resid_l1

@@ -146,11 +146,17 @@ def lsh_topk(
 ) -> DataFrame:
     """Bucketed ANN: exact cosine ranking restricted to the query's bucket
     plus its Hamming-1 probe buckets (multi-probe LSH — recall measured
-    against `cosine_topk` in tests/test_similarity.py)."""
+    against `cosine_topk` in tests/test_similarity.py).
+
+    Candidate scoring is the `pair_cosine` Arrow gemm (one einsum per
+    batch), not the interpreted HOF fold: at production query volumes
+    (thousands of queries x hundreds of candidates) the ~300us/pair fold
+    dominates the one-gemm bucketing it sits behind (round-4 verdict #2).
+    The cosine value is identical to the fold within 1 ulp and ranking is
+    id-tie-broken, so the exact SQL oracle is unaffected — measured in
+    bench.py's `ann_lsh_q100` line."""
     bucket = lsh_bucket_udf(n_planes)
-    with_b = emb.withColumn("bucket", bucket(F.col("embedding"))).withColumn(
-        "nrm", _norm(F.col("embedding"))
-    )
+    with_b = emb.withColumn("bucket", bucket(F.col("embedding")))
     # multi-probe to Hamming distance 2: self + single-bit + two-bit flips
     # (1 + P + P(P-1)/2 buckets of the 2^P total). Depth 2 is the recall
     # knob that keeps the integer-plane variant >= the 0.6 floor; candidate
@@ -169,22 +175,23 @@ def lsh_topk(
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qv"),
-            F.col("nrm").alias("qn"),
             F.explode(probes).alias("bucket"),
         )
     )
     c = with_b.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), F.col("nrm").alias("cn"), "bucket"
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), "bucket"
     )
+    # dedup candidate pairs BEFORE scoring so the gemm sees each (query,
+    # neighbor) once even when multi-probe buckets overlap
     sims = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
         .select(
             "query_id",
             "neighbor_id",
-            (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("sim"),
+            pair_cosine(F.col("qv"), F.col("cv")).alias("sim"),
         )
-        .dropDuplicates(["query_id", "neighbor_id"])
     )
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())
     return (
@@ -239,28 +246,29 @@ def ivf_topk(
     `cosine_topk` in tests/test_similarity.py."""
     corpus = emb.withColumn(
         "list_id", ivf_assign_udf(n_lists, seed, top=1)(F.col("embedding"))[0]
-    ).withColumn("nrm", _norm(F.col("embedding")))
+    )
     q = (
         emb.filter(F.col("vec_id") < n_queries)
         .withColumn("probes", ivf_assign_udf(n_lists, seed, top=n_probe)(F.col("embedding")))
-        .withColumn("nrm", _norm(F.col("embedding")))
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qv"),
-            F.col("nrm").alias("qn"),
             F.explode(F.col("probes")).alias("list_id"),
         )
     )
     c = corpus.select(
-        "list_id", F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), F.col("nrm").alias("cn")
+        "list_id", F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
     )
+    # candidate scoring via the pair_cosine Arrow gemm (not the interpreted
+    # HOF fold) — same rationale as lsh_topk; a vector lives in exactly one
+    # inverted list so (query, neighbor) pairs are already unique
     sims = (
         c.join(F.broadcast(q), "list_id")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            (_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))).alias("sim"),
+            pair_cosine(F.col("qv"), F.col("cv")).alias("sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id").asc())

@@ -15,6 +15,10 @@ Scale notes:
   running token cumsum, bin = floor(cumsum / capacity). One window pass +
   one grouped aggregate; first-fit-decreasing quality is traded for
   determinism + a relational plan (the oracle must replay it exactly).
+  The per-source cumsum window is a single reducer per source; the
+  ``chunk`` argument switches to a two-level distributed prefix sum whose
+  per-task bound is the chunk, not the source (round-5, closing the one
+  documented-but-untested skew point).
 """
 
 from __future__ import annotations
@@ -59,20 +63,62 @@ def unigram_logprob(tokens: DataFrame) -> DataFrame:
     )
 
 
-def pack_sequences(tokens: DataFrame, capacity: int = 2048) -> DataFrame:
+def pack_sequences(tokens: DataFrame, capacity: int = 2048, chunk=None) -> DataFrame:
     """Greedy sequence packing into fixed-capacity training bins:
     per source, docs in doc_id order are assigned bin = floor((cumsum(n_tok)
     - n_tok) / capacity) — each doc lands in the bin its starting offset
     falls in (docs longer than capacity span bins; they count toward the bin
     they start in). Output: one row per (source, bin) with the packed doc
-    count, token total, and fill ratio."""
-    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
-    binned = tokens.select(
-        "source",
-        "doc_id",
-        F.col("n_tok").cast("long").alias("n_tok"),
-        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / capacity).cast("long").alias("bin"),
-    )
+    count, token total, and fill ratio.
+
+    ``chunk=None`` runs the single-window form: `Window.partitionBy(source)`
+    is ONE reducer per source, so the largest source bounds the task (the
+    skew point documented since round 2). Pass ``chunk`` — a Column that is
+    monotone NON-DECREASING in doc_id order (e.g. a block of the numeric
+    doc-id suffix) — to run the salted two-level distributed prefix sum
+    instead: per-(source, chunk) local cumsums in parallel, a tiny
+    per-source window over chunk TOTALS (one row per chunk, not per doc),
+    and a broadcast join adding each chunk's exclusive offset back. The
+    result is identical by associativity of the integer cumsum (pinned in
+    tests/test_tokens.py), and the per-task bound drops from max source
+    size to max chunk size."""
+    n_tok = F.col("n_tok").cast("long").alias("n_tok")
+    if chunk is None:
+        w = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+        binned = tokens.select(
+            "source",
+            "doc_id",
+            n_tok,
+            F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / capacity).cast("long").alias("bin"),
+        )
+    else:
+        t = tokens.select("source", "doc_id", n_tok, chunk.cast("long").alias("_chunk"))
+        wl = (
+            W.partitionBy("source", "_chunk")
+            .orderBy("doc_id")
+            .rowsBetween(W.unboundedPreceding, 0)
+        )
+        local = t.withColumn("_cum_local", F.sum("n_tok").over(wl))
+        # chunk totals: |sources| x |chunks| rows — the only per-source
+        # sequential pass runs over these, never over docs
+        wo = W.partitionBy("source").orderBy("_chunk").rowsBetween(W.unboundedPreceding, -1)
+        offsets = (
+            t.groupBy("source", "_chunk")
+            .agg(F.sum("n_tok").alias("_ct"))
+            .select(
+                "source",
+                "_chunk",
+                F.coalesce(F.sum("_ct").over(wo), F.lit(0)).alias("_off"),
+            )
+        )
+        binned = local.join(F.broadcast(offsets), ["source", "_chunk"]).select(
+            "source",
+            "doc_id",
+            "n_tok",
+            F.floor((F.col("_off") + F.col("_cum_local") - F.col("n_tok")) / capacity)
+            .cast("long")
+            .alias("bin"),
+        )
     return binned.groupBy("source", "bin").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tok").alias("n_tokens"),

@@ -114,7 +114,14 @@ def flagship(tokens: DataFrame) -> DataFrame:
     tests/test_plans.py::test_flagship_reuses_filled_tier). ONLY the shared
     filled tier is cached — run_tiers(persist=True) would also pin the
     pre-fill rollup (a single-consumer plan here) into executor storage
-    with zero reuse."""
+    with zero reuse.
+
+    Cache lifetime is owned by the CALLER: the returned DataFrame's plan
+    references the persisted filled tier, so flagship() cannot unpersist
+    before the caller's action runs. Long-lived sessions issuing repeated
+    flagship() calls should `spark.catalog.clearCache()` (or unpersist via
+    the plan's InMemoryRelation) between calls to avoid accumulating pinned
+    tiers in executor storage."""
     from pyspark.storagelevel import StorageLevel
 
     tiers = run_tiers(tokens, with_eigen=True, persist=False)

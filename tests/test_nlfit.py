@@ -25,6 +25,9 @@ def _loop_oracle(ph, x, s0=0.0, rnge=2.0, grid_n=5, maxi=50, tol=1e-3):
             m_new = m - float(x @ r) / xx
             n_iter += 1
             if abs(m_new) > 1e-12 and abs((m_new - m) / m_new) < tol:
+                # reference grad_descent returns the 0-based loop index at
+                # convergence (updates - 1); maxi when the loop exhausts
+                n_iter -= 1
                 m = m_new
                 break
             m = m_new
