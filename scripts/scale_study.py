@@ -1,0 +1,168 @@
+"""Order-of-magnitude slope study (round-4 verdict #4): run every bench
+query at sf0.1 AND at a 10x-amplified copy, and report per-query scaling
+slopes — the empirical check that no query is superlinear where its plan
+says linear (e.g. LSH bucket skew that sf0.1 can't see).
+
+The amplified input is DERIVED deterministically from the driver-generated
+sf0.1 parquet (TESTDATA.md: use these as inputs), K structure-preserving
+copies per fact table:
+
+- events / lineitem / orders / customer: join keys shifted by copy x stride
+  (FK graph stays consistent: orders.o_custkey shifts with customer,
+  lineitem.l_orderkey with orders), timestamps untouched — K x the traffic
+  over the same horizon, the realistic densification direction.
+- documents: doc_id shifted; every WORD gets a per-copy suffix so shingles
+  differ across copies — within-copy dedup structure is preserved exactly
+  while cross-copy near-duplicates (which would make every O(candidates)
+  operator artificially quadratic in K) cannot form.
+- embeddings: vec_id shifted; per-copy deterministic SIGN FLIPS per
+  dimension (md5 parity). A sign flip is an orthogonal transform, so
+  within-copy cosine structure (near-dup pairs, top-k sets) is preserved
+  bit-for-bit while cross-copy vectors decorrelate.
+- region / nation / supplier / part: dimensions stay 1x (fixed catalogs).
+
+Slope per query = wall_10x / wall_1x / K, with a noise floor: queries under
+`floor_s` at 1x are skipped (scheduling-overhead-dominated). Expectations:
+`quadratic` for the two documented all-pairs baselines (jaccard_pairs,
+near_dup_cosine — slope ~K is by design), `linear` elsewhere; linear
+queries with slope > 1.3 are flagged.
+
+Usage: python scripts/scale_study.py [K] [out_json]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+STRIDE = 1_000_000_000  # key shift per copy — far above any sf0.1 key
+
+# (table, [key columns to shift]) — dims absent = copied 1x
+SHIFT_KEYS = {
+    "events": ["event_id", "user_id"],
+    "lineitem": ["l_orderkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+DIMS = ["region", "nation", "supplier", "part"]
+
+EXPECT_QUADRATIC = {"jaccard_pairs", "near_dup_cosine"}
+
+
+def _amplify_table(spark, name: str, k_copies: int, out_dir: str) -> None:
+    df = spark.read.parquet(f"{SRC}/{name}.parquet")
+    parts = []
+    for k in range(k_copies):
+        c = df
+        for col in SHIFT_KEYS.get(name, []):
+            c = c.withColumn(col, (F.col(col) + F.lit(k * STRIDE)).cast(df.schema[col].dataType))
+        if name == "documents" and k > 0:
+            # suffix every word: cross-copy shingle streams fully diverge
+            c = c.withColumn(
+                "text",
+                F.array_join(
+                    F.transform(F.split(F.col("text"), " "), lambda w: F.concat(w, F.lit(f"c{k}"))),
+                    " ",
+                ),
+            ).withColumn("n_chars", F.length("text").cast("long"))
+        if name == "embeddings" and k > 0:
+            signs = _sign_row(k, 64)
+            sign_lit = F.array(*[F.lit(float(s)) for s in signs])
+            c = c.withColumn(
+                "embedding",
+                F.zip_with(F.col("embedding"), sign_lit, lambda e, s: (e * s).cast("float")),
+            )
+        parts.append(c)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(f"{out_dir}/{name}.parquet")
+
+
+def _sign_row(k: int, dim: int) -> np.ndarray:
+    return np.array(
+        [1.0 if int(hashlib.md5(f"ampsign|{k}|{d}".encode()).hexdigest()[:2], 16) % 2 == 0 else -1.0
+         for d in range(dim)]
+    )
+
+
+def build_amplified(spark, k_copies: int) -> str:
+    out_dir = f"/tmp/covsar_sf_amp_{k_copies}x"
+    done = os.path.join(out_dir, "_DONE")
+    if os.path.exists(done):
+        return out_dir
+    for name in list(SHIFT_KEYS) + DIMS:
+        n = 1 if name in DIMS else k_copies
+        _amplify_table(spark, name, n, out_dir)
+    open(done, "w").close()
+    return out_dir
+
+
+def time_suite(spark, queries, names, sf_dir: str) -> dict[str, float]:
+    out = {}
+    for name in names:
+        t0 = time.time()
+        queries[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        out[name] = round(time.time() - t0, 3)
+    return out
+
+
+def main():
+    k_copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    out_path = sys.argv[2] if len(sys.argv) > 2 else os.path.join(REPO, "BENCH_SCALE_STUDY.json")
+    floor_s = 0.25
+
+    from bench import BENCH_QUERIES
+    from covsar_spark.contract import QUERIES
+    from covsar_spark.session import get_spark
+
+    spark = get_spark("covsar_scale_study", cores=32, shuffle_partitions=32)
+    amp_dir = build_amplified(spark, k_copies)
+
+    # warm the scan path once per dir so slopes compare plans, not page cache
+    spark.read.parquet(f"{SRC}/events.parquet").count()
+    spark.read.parquet(f"{amp_dir}/events.parquet").count()
+
+    names = [n for n in BENCH_QUERIES if n in QUERIES]
+    t1 = time_suite(spark, QUERIES, names, SRC)
+    t10 = time_suite(spark, QUERIES, names, amp_dir)
+
+    rows, flagged = [], []
+    for n in names:
+        base, amp = t1[n], t10[n]
+        expect = "quadratic" if n in EXPECT_QUADRATIC else "linear"
+        slope = round(amp / base / k_copies, 3) if base > 0 else None
+        skip = base < floor_s
+        row = {"query": n, "sec_1x": base, "sec_10x": amp, "slope_vs_linear": slope,
+               "expect": expect, "below_floor": skip}
+        rows.append(row)
+        if not skip and expect == "linear" and slope is not None and slope > 1.3:
+            flagged.append(n)
+
+    result = {
+        "k_copies": k_copies,
+        "floor_s": floor_s,
+        "amplified_dir": amp_dir,
+        "flagged_superlinear": flagged,
+        "queries": rows,
+    }
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps({"flagged": flagged, "n": len(rows), "out": out_path}))
+
+
+if __name__ == "__main__":
+    main()
