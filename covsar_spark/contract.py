@@ -1801,8 +1801,12 @@ def near_dup_lsh_q(spark, sf_dir):
     tests/test_similarity.py). EXACT oracle since r4: the md5-integer-plane
     buckets are SQL-replayable per table, so DuckDB reproduces the candidate
     set and the cosine-threshold verification end-to-end."""
+    # auto_planes resolves to the oracle's pinned 6 planes for every corpus
+    # up to 2048 vectors (all driver scales) and keeps candidate volume
+    # ~linear beyond that (round-5 scale-study fix, similarity.py docstring)
     return sim_ops.near_dup_lsh(
-        _read(spark, sf_dir, "embeddings"), threshold=0.35, n_planes=6, n_tables=4
+        _read(spark, sf_dir, "embeddings"), threshold=0.35, n_planes=6, n_tables=4,
+        auto_planes=True,
     )
 
 

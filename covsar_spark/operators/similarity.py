@@ -174,19 +174,28 @@ def lsh_topk(
         with_b.filter(F.col("vec_id") < n_queries)
         .select(
             F.col("vec_id").alias("query_id"),
-            F.col("embedding").alias("qv"),
             F.explode(probes).alias("bucket"),
         )
     )
-    c = with_b.select(
-        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"), "bucket"
-    )
-    # dedup candidate pairs BEFORE scoring so the gemm sees each (query,
-    # neighbor) once even when multi-probe buckets overlap
-    sims = (
+    c = with_b.select(F.col("vec_id").alias("neighbor_id"), "bucket")
+    # candidates as BARE id pairs, deduped BEFORE any vector ships (the
+    # near_dup_lsh pattern): multi-probe buckets overlap, and a dedup
+    # shuffle carrying two 64-float vectors per duplicate candidate costs
+    # more than the interpreted fold it replaced (measured round 5 — the
+    # first gemm cut scored after a vector-heavy dropDuplicates and LOST to
+    # the fold at 20k corpus x 1000 queries). Vectors attach once per
+    # UNIQUE pair; scoring is one pair_cosine einsum per Arrow batch.
+    cand = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    eq = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv"))
+    ec = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv"))
+    sims = (
+        cand.join(F.broadcast(eq.filter(F.col("query_id") < n_queries)), "query_id")
+        .join(ec, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
@@ -402,6 +411,9 @@ def near_dup_lsh(
     n_planes: int = 4,
     n_tables: int = 4,
     seed: int = 123,
+    auto_planes: bool = False,
+    target_bucket: int = 32,
+    n_vecs: int | None = None,
 ) -> DataFrame:
     """Sub-quadratic near-duplicates: multi-table hyperplane-LSH candidates
     (a pair is a candidate if it collides in ANY of the ``n_tables``
@@ -409,7 +421,32 @@ def near_dup_lsh(
     1-(1-p^r)^b) verified with the exact Arrow cosine (`pair_cosine`), so
     precision is 1.0 by construction. Candidates come from (table, bucket)
     equi-joins — the scale path; recall vs the exact `near_dup_pairs` is
-    measured in tests/test_similarity.py."""
+    measured in tests/test_similarity.py.
+
+    Plane-count scaling (round-5 scale study finding): with a FIXED
+    ``n_planes`` the bucket space is fixed, so occupancy grows linearly
+    with the corpus and within-bucket candidate pairs grow QUADRATICALLY —
+    a 10x corpus measured 4.3x-linear wall (BENCH_SCALE_STUDY.json).
+    ``auto_planes=True`` sizes n_planes = max(n_planes,
+    ceil(log2(n / target_bucket))) so expected occupancy stays ~constant
+    and candidate volume stays ~linear in n. Sizing needs the corpus count:
+    pass ``n_vecs`` if known, else ONE eager count job runs at plan build
+    (same documented trade as `near_dup_pairs`). The contract oracle pins
+    n_planes=6, which auto-sizing reproduces for every corpus up to
+    target_bucket * 2^6 = 2048 vectors — all driver scales.
+
+    Recall trade: each added plane multiplies a table's collision
+    probability for a sim-s pair by p = 1 - arccos(s)/pi, so holding
+    recall while planes grow requires raising ``n_tables`` by ~p^-dr
+    (1-(1-p^r)^b banding algebra). Both knobs are exposed; auto-sizing
+    moves only the candidate-volume knob and leaves the recall budget to
+    the caller."""
+    if auto_planes:
+        import math
+
+        n = n_vecs if n_vecs is not None else emb.count()
+        if n > target_bucket:
+            n_planes = max(n_planes, math.ceil(math.log2(n / target_bucket)))
     keys = F.explode(
         F.array(
             *[

@@ -27,7 +27,9 @@ Slope per query = wall_10x / wall_1x / K, with a noise floor: queries under
 near_dup_cosine — slope ~K is by design), `linear` elsewhere; linear
 queries with slope > 1.3 are flagged.
 
-Usage: python scripts/scale_study.py [K] [out_json]
+Usage: python scripts/scale_study.py [K] [out_json] [query1,query2,...]
+(the optional query list restricts the run — re-measuring a fixed query
+without paying the full suite twice)
 """
 
 from __future__ import annotations
@@ -137,6 +139,9 @@ def main():
     spark.read.parquet(f"{amp_dir}/events.parquet").count()
 
     names = [n for n in BENCH_QUERIES if n in QUERIES]
+    if len(sys.argv) > 3:
+        subset = sys.argv[3].split(",")
+        names = [n for n in names if n in subset]
     t1 = time_suite(spark, QUERIES, names, SRC)
     t10 = time_suite(spark, QUERIES, names, amp_dir)
 
