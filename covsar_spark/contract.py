@@ -1765,7 +1765,11 @@ def ann_ivf_topk(spark, sf_dir):
     integer centroid directions (operators/similarity.ivf_centroids), so
     DuckDB replays inverted-list assignment, 4-list multi-probe, and the
     exact cosine ranking inside probed lists bit-for-bit."""
-    r = sim_ops.ivf_topk(_read(spark, sf_dir, "embeddings"), n_queries=5, k=10)
+    # auto_lists resolves to the oracle's pinned 16 lists up to 2048 vectors
+    # (all driver scales) and bounds per-query probed candidates beyond that
+    r = sim_ops.ivf_topk(
+        _read(spark, sf_dir, "embeddings"), n_queries=5, k=10, auto_lists=True
+    )
     return r.withColumn("rank", F.col("rank").cast("long"))
 
 

@@ -247,12 +247,31 @@ def ivf_topk(
     n_lists: int = 16,
     n_probe: int = 4,
     seed: int = 77,
+    auto_lists: bool = False,
+    target_list: int = 128,
+    n_vecs: int | None = None,
 ) -> DataFrame:
     """IVF ANN — the second scale path beside LSH: corpus vectors live in
     their single nearest centroid's inverted list (hash-partitionable by
     list id); queries probe their ``n_probe`` nearest lists and rank
     exactly inside them. Cross-list recall is measured against
-    `cosine_topk` in tests/test_similarity.py."""
+    `cosine_topk` in tests/test_similarity.py.
+
+    List-count scaling (sibling of near_dup_lsh's auto_planes): with fixed
+    ``n_lists`` each inverted list grows linearly with the corpus, so
+    per-query candidate work is n_probe * n / n_lists — linear in n (never
+    quadratic, unlike the near-dup join), but the per-query constant grows
+    without bound. ``auto_lists=True`` sizes n_lists = max(n_lists,
+    ceil(n / target_list)) so probed-candidate volume per query stays
+    ~n_probe * target_list. The oracle pins 16 lists, which auto-sizing
+    reproduces for corpora up to 16 * target_list = 2048 vectors — all
+    driver scales. Recall holds under list growth by scaling ``n_probe``
+    proportionally (the probed FRACTION of the corpus is the recall knob)."""
+    if auto_lists:
+        import math
+
+        n = n_vecs if n_vecs is not None else emb.count()
+        n_lists = max(n_lists, math.ceil(n / target_list))
     corpus = emb.withColumn(
         "list_id", ivf_assign_udf(n_lists, seed, top=1)(F.col("embedding"))[0]
     )
