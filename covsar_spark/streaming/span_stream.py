@@ -194,3 +194,34 @@ def run_span_stream_to_memory(
     q.processAllAvailable()
     q.stop()
     return spark.sql(f"SELECT * FROM {name}")
+
+
+def run_span_stream_to_files(
+    spark: SparkSession,
+    rollup_path: str,
+    out_path: str,
+    checkpoint_path: str,
+    tier: str,
+    max_files: int = 2,
+    watermark: str = "10 minutes",
+) -> None:
+    """File-sink form with a durable checkpoint: a restart resumes the file
+    source offsets AND the operator state store, so spans finalized before
+    the stop are never recomputed or re-emitted and spans that were
+    in-flight keep their accumulated epochs (exactly-once across restarts —
+    tests/test_streaming_span.py::test_span_stream_restart_resumes_exactly_once)."""
+    stream = (
+        spark.readStream.schema(ROLLUP_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(rollup_path)
+    )
+    q = (
+        span_stream(stream, tier, watermark=watermark)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()

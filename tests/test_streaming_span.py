@@ -12,7 +12,10 @@ from pyspark.sql import functions as F
 
 from covsar_spark.operators.tier_kernel import tier_kernel
 from covsar_spark.schemas import EIGEN_SPAN, ROLLUP_SCHEMA, TIERS
-from covsar_spark.streaming.span_stream import run_span_stream_to_memory
+from covsar_spark.streaming.span_stream import (
+    run_span_stream_to_files,
+    run_span_stream_to_memory,
+)
 
 TIER = "1m"
 TIER_S = TIERS[TIER]
@@ -122,4 +125,85 @@ def test_span_stream_last_per_epoch_wins(spark, tmp_path):
     )
     exp = tier_kernel(batch_in, TIER, emit_points=False).toPandas()
     assert got["lam"].tolist() == exp["lam"].tolist()
+    assert [bytes(b) for b in got["val_blob"]] == [bytes(b) for b in exp["val_blob"]]
+
+
+def _span_rows(source, spans, tok_base=40):
+    """Dense-boundary rows for `spans` (first+last epoch of the whole range
+    present, every span populated) — batch extent clip is a no-op."""
+    rows = []
+    for sp in spans:
+        span_s = BASE + sp * SPAN
+        for k in range(SPAN // TIER_S):
+            if 0 < k < SPAN // TIER_S - 1 and (k + sp) % 4 == 0:
+                continue
+            tok = tok_base + (k * 11 + sp * 57) % 300
+            rows.append((source, span_s + k * TIER_S, tok, 1 + tok % 5,
+                         tok + 3, max(tok - 3, 0), tok / float(TIER_S), False))
+    return rows
+
+
+def test_span_stream_restart_resumes_exactly_once(spark, tmp_path):
+    """Stop/restart against a durable checkpoint: spans finalized in run 1
+    must NOT re-emit in run 2 (state store + file offsets resume), spans
+    arriving after the restart must emit, and the union must equal the
+    batch kernel over all the data.
+
+    Post-restart spans must sit ABOVE the checkpointed watermark — closing
+    span N necessarily advances the watermark past span N+1's start, so a
+    contiguous continuation would be late by construction (the streaming
+    semantics, not a bug). Hence the 2-span gap: run 1 ships spans 0,1 and
+    a flush whose watermark lands between span 1's end and span 4's start;
+    run 2 ships spans 4,5."""
+    cols = [f.name for f in ROLLUP_SCHEMA.fields]
+    src = tmp_path / "rollup"
+    out = str(tmp_path / "spans_out")
+    ckpt = str(tmp_path / "ckpt")
+
+    part1 = _span_rows("s", [0, 1])
+    # lateness 1h: wm after flush1 = BASE + 3*SPAN + 60 — past span 1's end,
+    # below span 4's first row
+    flush1 = [("zz_flush", BASE + 4 * SPAN + TIER_S, 1, 1, 1, 1, 1.0 / TIER_S, False)]
+    spark.createDataFrame(pd.DataFrame(part1 + flush1, columns=cols), schema=ROLLUP_SCHEMA).coalesce(
+        1
+    ).write.parquet(str(src / "part1"))
+    run_span_stream_to_files(spark, str(src / "*"), out, ckpt, TIER, watermark="1 hour")
+
+    got1 = spark.read.parquet(out).filter(F.col("source") == "s").toPandas()
+    assert sorted(got1["span_s"]) == [BASE, BASE + SPAN]
+
+    part2 = _span_rows("s", [4, 5])
+    flush2 = [("zz_flush2", BASE + 20 * SPAN, 1, 1, 1, 1, 1.0 / TIER_S, False)]
+    spark.createDataFrame(pd.DataFrame(part2 + flush2, columns=cols), schema=ROLLUP_SCHEMA).coalesce(
+        1
+    ).write.parquet(str(src / "part2"))
+    run_span_stream_to_files(spark, str(src / "*"), out, ckpt, TIER, watermark="1 hour")
+
+    got = (
+        spark.read.parquet(out)
+        .filter(F.col("source") == "s")
+        .toPandas()
+        .sort_values("span_s")
+        .reset_index(drop=True)
+    )
+    # exactly once: spans 0,1 NOT re-emitted on restart, 4,5 emitted once
+    want_spans = [BASE, BASE + SPAN, BASE + 4 * SPAN, BASE + 5 * SPAN]
+    assert got["span_s"].tolist() == want_spans
+
+    batch_in = spark.createDataFrame(
+        pd.DataFrame(part1 + part2, columns=cols), schema=ROLLUP_SCHEMA
+    )
+    # batch sentinels also emit the fully-EMPTY interior spans 2,3 — the
+    # documented coverage difference (span_stream.py docstring): a streamed
+    # span exists only if >= 1 row fell in it. Compare the populated spans.
+    exp = (
+        tier_kernel(batch_in, TIER, emit_points=False)
+        .filter(F.col("span_s").isin(want_spans))
+        .toPandas()
+        .sort_values("span_s")
+        .reset_index(drop=True)
+    )
+    assert got["lam"].tolist() == exp["lam"].tolist()
+    assert got["n_epochs"].tolist() == exp["n_epochs"].tolist()
+    assert [bytes(b) for b in got["ts_blob"]] == [bytes(b) for b in exp["ts_blob"]]
     assert [bytes(b) for b in got["val_blob"]] == [bytes(b) for b in exp["val_blob"]]
