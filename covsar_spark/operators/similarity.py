@@ -457,7 +457,11 @@ def near_dup_lsh(
     Recall trade: each added plane multiplies a table's collision
     probability for a sim-s pair by p = 1 - arccos(s)/pi, so holding
     recall while planes grow requires raising ``n_tables`` by ~p^-dr
-    (1-(1-p^r)^b banding algebra). Both knobs are exposed; auto-sizing
+    (1-(1-p^r)^b banding algebra). MEASURED at the 10x corpus (20.5k
+    vectors, auto -> 10 planes, 500 planted sim-0.90 pairs, BENCH.md r5):
+    recall 0.586 / 0.834 / 0.976 at 4 / 8 / 16 tables — within 2 points
+    of the banding prediction (0.61 / 0.85 / 0.98), with wall 7.7 / 4.0 /
+    23.6 s tracking candidate volume. Both knobs are exposed; auto-sizing
     moves only the candidate-volume knob and leaves the recall budget to
     the caller."""
     if auto_planes:
