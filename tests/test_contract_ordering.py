@@ -57,6 +57,18 @@ def test_every_query_has_oracle_or_is_known_rows_only():
     assert rows_only == known_rows_only, rows_only ^ known_rows_only
 
 
+def test_suite_checksum_covers_only_demoted_entries():
+    """demoted_suite exists to carry in-cap evidence for entries OUTSIDE the
+    cap — a promoted entry should leave _SUITE_ROWEXPR (its direct driver
+    row supersedes the checksum), and every covered name must still be a
+    registered oracle entry."""
+    from covsar_spark import contract
+
+    for name in contract._SUITE_ROWEXPR:
+        assert name in contract.DRIVER_DEMOTED, f"{name} covered but not demoted"
+        assert name in contract.ORACLE, f"{name} covered but has no oracle"
+
+
 def test_demoted_entries_still_pass_their_oracles(spark):
     """Demoted-past-the-cap oracle entries are invisible to the external
     driver gate, so regressions in them must fail HERE (round-3 advice):
