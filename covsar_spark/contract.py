@@ -40,8 +40,49 @@ def register(name: str, sql: str | None = None):
     return deco
 
 
+_SCHEMA_MEMO: dict[tuple[str, str], object] = {}
+
+
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Parquet read with a per-(sf_dir, table) schema memo: every bare
+    `spark.read.parquet` call runs one footer schema-inference JOB, so a
+    50-entry driver pass used to pay hundreds of them. First touch infers
+    (and memoizes the exact inferred StructType — zero parity risk); later
+    reads pass it explicitly and launch no job at plan build. Unlike a row
+    COUNT memo (the documented stale-memo hazard in similarity.py), a
+    table's schema does not change when files are appended."""
+    key = (sf_dir, name)
+    path = f"{sf_dir}/{name}.parquet"
+    sch = _SCHEMA_MEMO.get(key)
+    if sch is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_MEMO[key] = df.schema
+        return df
+    return spark.read.schema(sch).parquet(path)
+
+
+def _parquet_rows(sf_dir: str, name: str) -> int:
+    """Exact row count from parquet FOOTER metadata — driver-side pyarrow,
+    zero Spark jobs (round-5 verdict #6: the auto-sized ANN entries each
+    paid one eager count() job per plan build; the sf-dir corpus size is
+    already sitting in the file metadata). Counts rows at the path NOW, so
+    the stale-memo hazard the eager count guarded against doesn't apply."""
+    import pyarrow.dataset as pads
+
+    return pads.dataset(f"{sf_dir}/{name}.parquet").count_rows()
+
+
+def _assert_pinned(resolved: int, pinned: int, entry: str, knob: str) -> None:
+    """The stored oracle SQL pins auto-sized ANN parameters (16 lists / 6
+    planes); if a future driver scale resolves differently the Spark side
+    would silently resize while the SQL stays pinned (round-5 advice). Fail
+    loudly instead — the fix is regenerating the oracle, not shipping a
+    mismatch."""
+    if resolved != pinned:
+        raise ValueError(
+            f"{entry}: auto-sized {knob}={resolved} != oracle-pinned {pinned}; "
+            f"regenerate the stored oracle SQL for this corpus size"
+        )
 
 
 def _events_1m(spark, sf_dir) -> DataFrame:
@@ -1766,9 +1807,13 @@ def ann_ivf_topk(spark, sf_dir):
     DuckDB replays inverted-list assignment, 4-list multi-probe, and the
     exact cosine ranking inside probed lists bit-for-bit."""
     # auto_lists resolves to the oracle's pinned 16 lists up to 2048 vectors
-    # (all driver scales) and bounds per-query probed candidates beyond that
+    # (all driver scales) and bounds per-query probed candidates beyond that;
+    # n_vecs from the parquet footer (no job) + a loud pinned-value guard
+    n = _parquet_rows(sf_dir, "embeddings")
+    _assert_pinned(sim_ops.resolve_n_lists(n), 16, "ann_ivf_topk", "n_lists")
     r = sim_ops.ivf_topk(
-        _read(spark, sf_dir, "embeddings"), n_queries=5, k=10, auto_lists=True
+        _read(spark, sf_dir, "embeddings"), n_queries=5, k=10, auto_lists=True,
+        n_vecs=n,
     )
     return r.withColumn("rank", F.col("rank").cast("long"))
 
@@ -1807,10 +1852,15 @@ def near_dup_lsh_q(spark, sf_dir):
     set and the cosine-threshold verification end-to-end."""
     # auto_planes resolves to the oracle's pinned 6 planes for every corpus
     # up to 2048 vectors (all driver scales) and keeps candidate volume
-    # ~linear beyond that (round-5 scale-study fix, similarity.py docstring)
+    # ~linear beyond that (round-5 scale-study fix, similarity.py docstring);
+    # n_vecs from the parquet footer (no job) + a loud pinned-value guard
+    n = _parquet_rows(sf_dir, "embeddings")
+    _assert_pinned(
+        sim_ops.resolve_n_planes(n, n_planes=6), 6, "near_dup_lsh", "n_planes"
+    )
     return sim_ops.near_dup_lsh(
         _read(spark, sf_dir, "embeddings"), threshold=0.35, n_planes=6, n_tables=4,
-        auto_planes=True,
+        auto_planes=True, n_vecs=n,
     )
 
 
@@ -2151,7 +2201,13 @@ def near_dup_cosine(spark, sf_dir):
     operators/similarity.near_dup_pairs)."""
     from covsar_spark.operators.similarity import near_dup_pairs
 
-    return near_dup_pairs(_read(spark, sf_dir, "embeddings"), threshold=0.35)
+    # n_vecs from the parquet footer: block sizing without the plan-build
+    # count() job (round-5 verdict #6)
+    return near_dup_pairs(
+        _read(spark, sf_dir, "embeddings"),
+        threshold=0.35,
+        n_vecs=_parquet_rows(sf_dir, "embeddings"),
+    )
 
 
 @register(

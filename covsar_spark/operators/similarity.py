@@ -38,9 +38,15 @@ def pair_cosine(va: pd.Series, vb: pd.Series) -> pd.Series:
     The JVM higher-order fold (`_dot`) is interpreted per element (~300us
     per 64-dim pair) — fine for small top-k candidate sets, hopeless for
     all-pairs near-dup scans. This path is ~1000x faster per pair. Used by
-    `near_dup_lsh` to verify LSH candidates exactly."""
-    A = np.stack(va.to_numpy())
-    B = np.stack(vb.to_numpy())
+    `near_dup_lsh` to verify LSH candidates exactly.
+
+    Accumulates in float64 explicitly (round-5 advice): the embeddings column
+    is array<float>, and np.stack would keep float32 — a float32 einsum can
+    swap the rank of two candidates whose true cosines differ by ~1e-6,
+    silently diverging from both the `_dot` double fold and the DuckDB
+    oracle's DOUBLE[] ranking. The upcast restores 1-ulp parity."""
+    A = np.stack(va.to_numpy()).astype(np.float64)
+    B = np.stack(vb.to_numpy()).astype(np.float64)
     num = np.einsum("ij,ij->i", A, B)
     den = np.sqrt(np.einsum("ij,ij->i", A, A) * np.einsum("ij,ij->i", B, B))
     return pd.Series(num / den)
@@ -210,6 +216,26 @@ def lsh_topk(
     )
 
 
+def resolve_n_lists(n: int, n_lists: int = 16, target_list: int = 128) -> int:
+    """ONE definition of `ivf_topk`'s auto_lists sizing, importable by
+    callers that pin an oracle parameter (round-5 advice: the contract's
+    stored SQL pins 16 lists — asserting against THIS function makes a
+    corpus-size change fail loudly instead of silently diverging)."""
+    import math
+
+    return max(n_lists, math.ceil(n / target_list))
+
+
+def resolve_n_planes(n: int, n_planes: int = 4, target_bucket: int = 32) -> int:
+    """ONE definition of `near_dup_lsh`'s auto_planes sizing (see
+    `resolve_n_lists` for why this is a public function)."""
+    import math
+
+    if n > target_bucket:
+        return max(n_planes, math.ceil(math.log2(n / target_bucket)))
+    return n_planes
+
+
 def ivf_centroids(dim: int, n_lists: int = 16, seed: int = 77) -> np.ndarray:
     """Deterministic INTEGER centroid directions from md5 arithmetic — the
     SQL-replayable analogue of the seeded-Gaussian quantizer (same derivation
@@ -268,10 +294,8 @@ def ivf_topk(
     driver scales. Recall holds under list growth by scaling ``n_probe``
     proportionally (the probed FRACTION of the corpus is the recall knob)."""
     if auto_lists:
-        import math
-
         n = n_vecs if n_vecs is not None else emb.count()
-        n_lists = max(n_lists, math.ceil(n / target_list))
+        n_lists = resolve_n_lists(n, n_lists, target_list)
     corpus = emb.withColumn(
         "list_id", ivf_assign_udf(n_lists, seed, top=1)(F.col("embedding"))[0]
     )
@@ -315,6 +339,7 @@ def near_dup_pairs(
     threshold: float = 0.35,
     n_blocks: int | None = None,
     target_block_bytes: int = 64 << 20,
+    n_vecs: int | None = None,
 ) -> DataFrame:
     """All-pairs cosine near-duplicates via distributed block matmul.
 
@@ -340,9 +365,10 @@ def near_dup_pairs(
         # on purpose: any memoization (plan hash, DF identity) goes stale
         # the moment the files at the source path change — re-reading the
         # same path after an append would reuse an under-sized n_blocks,
-        # the exact blow-up the sizing prevents. Callers looping over a
-        # known corpus skip it via ``n_blocks``.
-        n = int(emb.agg(F.count(F.lit(1))).first()[0] or 0)
+        # the exact blow-up the sizing prevents. Callers with a known corpus
+        # skip it via ``n_blocks`` or ``n_vecs`` (e.g. the contract passes
+        # the parquet-footer row count — metadata, no job).
+        n = n_vecs if n_vecs is not None else int(emb.agg(F.count(F.lit(1))).first()[0] or 0)
         max_rows = max(1, int((target_block_bytes / 8) ** 0.5))
         n_blocks = max(1, -(-n // max_rows))
     packed = (
@@ -465,11 +491,8 @@ def near_dup_lsh(
     moves only the candidate-volume knob and leaves the recall budget to
     the caller."""
     if auto_planes:
-        import math
-
         n = n_vecs if n_vecs is not None else emb.count()
-        if n > target_bucket:
-            n_planes = max(n_planes, math.ceil(math.log2(n / target_bucket)))
+        n_planes = resolve_n_planes(n, n_planes, target_bucket)
     keys = F.explode(
         F.array(
             *[

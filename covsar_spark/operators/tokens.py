@@ -78,7 +78,8 @@ def pack_sequences(tokens: DataFrame, capacity: int = 2048, chunk=None) -> DataF
     doc-id suffix) — to run the salted two-level distributed prefix sum
     instead: per-(source, chunk) local cumsums in parallel, a tiny
     per-source window over chunk TOTALS (one row per chunk, not per doc),
-    and a broadcast join adding each chunk's exclusive offset back. The
+    and an equi-join on (source, chunk) adding each chunk's exclusive
+    offset back (join strategy left to the optimizer — see in-line note). The
     result is identical by associativity of the integer cumsum (pinned in
     tests/test_tokens.py), and the per-task bound drops from max source
     size to max chunk size."""
@@ -111,7 +112,14 @@ def pack_sequences(tokens: DataFrame, capacity: int = 2048, chunk=None) -> DataF
                 F.coalesce(F.sum("_ct").over(wo), F.lit(0)).alias("_off"),
             )
         )
-        binned = local.join(F.broadcast(offsets), ["source", "_chunk"]).select(
+        # no broadcast hint (round-5 advice): offsets has |sources| x
+        # |chunks| ~ n_docs/chunk_size rows — linear in the corpus, so a
+        # forced broadcast becomes a driver-memory bomb at exactly the
+        # scales this path targets. Left to the optimizer, small offset
+        # tables still auto-broadcast under autoBroadcastJoinThreshold;
+        # large ones take a shuffle join on (source, _chunk), which stays
+        # bounded by chunk size per task.
+        binned = local.join(offsets, ["source", "_chunk"]).select(
             "source",
             "doc_id",
             "n_tok",

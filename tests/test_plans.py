@@ -232,3 +232,47 @@ def test_boilerplate_ngrams_hash_group_partial_agg(spark):
     plan = _plan(QUERIES["boilerplate_ngrams"](spark, "/root/testdata/sf0.001"))
     assert "partial_" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_ann_plan_build_runs_no_jobs(spark):
+    """Round-5 verdict #6: the auto-sized ANN entries used to pay one eager
+    count() job per plan build. With parquet-footer counts plumbed through
+    (contract._parquet_rows) building the plan must launch ZERO Spark jobs
+    — job-group membership is the witness."""
+    from covsar_spark.contract import QUERIES
+
+    sc = spark.sparkContext
+    # warm the schema memo OUTSIDE the witness group: the FIRST touch of a
+    # parquet path pays one footer schema-inference job (memoized by
+    # contract._read), which is not the plan-build count this test guards
+    from covsar_spark.contract import _read
+
+    _read(spark, "/root/testdata/sf0.001", "embeddings")
+    for name in ("ann_ivf_topk", "near_dup_lsh", "near_dup_cosine"):
+        group = f"planbuild_{name}"
+        sc.setJobGroup(group, "plan build must not run jobs")
+        try:
+            QUERIES[name](spark, "/root/testdata/sf0.001")
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        ids = sc.statusTracker().getJobIdsForGroup(group)
+        assert not ids, f"{name}: plan build launched Spark jobs {ids}"
+
+
+def test_ann_pinned_oracle_guard_trips_loudly():
+    """The pinned-parameter guard (round-5 advice): a corpus size whose
+    auto-resolution differs from the oracle-pinned value must raise, not
+    silently diverge."""
+    import pytest
+
+    from covsar_spark.contract import _assert_pinned
+    from covsar_spark.operators.similarity import resolve_n_lists, resolve_n_planes
+
+    # driver scales resolve to the pinned values...
+    assert resolve_n_lists(500) == 16 and resolve_n_lists(2000) == 16
+    assert resolve_n_planes(500, n_planes=6) == 6
+    assert resolve_n_planes(2000, n_planes=6) == 6
+    # ...and past the documented 2048-vector ceiling the guard trips
+    assert resolve_n_lists(4096) == 32
+    with pytest.raises(ValueError, match="oracle-pinned"):
+        _assert_pinned(resolve_n_lists(4096), 16, "ann_ivf_topk", "n_lists")
