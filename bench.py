@@ -1,6 +1,22 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
-{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE COMPACT JSON
+line as the LAST line of stdout:
+{"metric": ..., "value": N, "unit": "sec", "queries": {flagship walls},
+ "calib_pre": ops/s, "calib_post": ops/s, "sf": ...}
+
+The full 60+-entry per-query seconds map goes to BENCH_QUERIES.json next to
+this file — round-5 lesson: the driver's fixed-size stdout tail clipped the
+headline line mid-token once the map grew past it (BENCH_r05.json
+`parsed: null`), so the stdout line carries only scalars + the two flagship
+walls and stays a few hundred bytes.
+
+Noise adjudication (round-5 lesson #2): this shared box's co-tenant load has
+inflated whole suites by 1.76x median. Each run now brackets itself with a
+single-thread host-speed probe (same burn as scripts/scaling.py — quiet box
+reads 500-800 ops/s, documented collapses 0.3-28), waits up to
+$SPARK_GRAFT_PROBE_MAX_WAIT_S (default 600s) for the probe to clear
+$SPARK_GRAFT_PROBE_MIN (default 400 ops/s) before timing, and reports
+calib_pre/calib_post in the headline line so a noisy run is self-documenting.
 
 The headline metric is the flagship tokens pipeline's rolled-up points/sec
 across all retention tiers (BASELINE.json:metric); per-query seconds cover
@@ -11,6 +27,7 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -20,6 +37,50 @@ from pyspark.sql import functions as F  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+PROBE_MIN = float(os.environ.get("SPARK_GRAFT_PROBE_MIN", "400"))
+PROBE_MAX_WAIT_S = int(os.environ.get("SPARK_GRAFT_PROBE_MAX_WAIT_S", "600"))
+QUERIES_OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_QUERIES.json")
+
+# single-thread host-speed burn, identical to scripts/scaling.py's CALIBRATE:
+# co-tenant interference shows up as a LOWER ops/s number
+_PROBE_SRC = r"""
+import json, time
+import numpy as np
+rng = np.random.default_rng(0)
+A = rng.random((384, 384)); B = rng.random((384, 384))
+x = rng.random(1 << 16)
+t0 = time.time(); n = 0
+while time.time() - t0 < 1.0:
+    (A @ B); np.fft.rfft(x); n += 1
+print(json.dumps({"ops_s": round(n / (time.time() - t0), 1)}))
+"""
+
+
+def host_probe(best_of: int = 1, gap_s: float = 0.0) -> float:
+    """Best-of-N single-thread probe: transient churn (e.g. the Spark JVM's
+    own shutdown cleanup right after spark.stop()) reads as a one-probe
+    collapse; the max over a few spaced probes reflects the steady box."""
+    # scrub the BLAS thread pins session.get_spark writes into our own env
+    # (inherited by children): a post-session probe would otherwise run
+    # single-threaded BLAS and read ~6x lower than the pre-session probe
+    # and scripts/scaling.py's documented 548-824 ops/s quiet range
+    env = {
+        k: v
+        for k, v in os.environ.items()
+        if k not in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS")
+    }
+    vals = []
+    for i in range(best_of):
+        if i and gap_s:
+            time.sleep(gap_s)
+        out = subprocess.run(
+            [sys.executable, "-c", _PROBE_SRC], capture_output=True, text=True, env=env
+        )
+        try:
+            vals.append(json.loads(out.stdout.strip().splitlines()[-1])["ops_s"])
+        except Exception:
+            vals.append(float("nan"))
+    return max(vals)
 TOKENS_ROWS = int(os.environ.get("SPARK_GRAFT_TOKENS_ROWS", "2000000"))
 # flagship fixture shape: rolled-up points = sources x horizon grid cells,
 # so the headline pps needs a wide horizon, not just more rows (100k rows /
@@ -160,6 +221,15 @@ def main():
     from covsar_spark.contract import QUERIES
     from covsar_spark.session import get_spark
 
+    # probe-gate BEFORE paying JVM startup: wait (bounded) for a quiet box
+    # so the timed suite measures the engine, not the co-tenants
+    waited_s = 0
+    calib_pre = host_probe()
+    while calib_pre < PROBE_MIN and waited_s < PROBE_MAX_WAIT_S:
+        time.sleep(30)
+        waited_s += 30
+        calib_pre = host_probe()
+
     spark = get_spark("covsar_bench", cores=CPUS, shuffle_partitions=CPUS)
     try:
         sf = float(SF_DIR.rstrip("/").rsplit("sf", 1)[-1])
@@ -195,7 +265,34 @@ def main():
     pps_c = points_c / wall_c if wall_c > 0 else 0.0
     q_times["flagship_pipeline_closure"] = round(wall_c, 3)
 
+    # stop the session BEFORE the post-probe: an idle local[N] JVM still
+    # competes with the single-thread burn (measured 701 -> 115 ops/s with
+    # the session alive), which would make every post-probe read "noisy"
+    spark.stop()
+    calib_post = host_probe(best_of=3, gap_s=3.0)
     total = round(sum(q_times.values()), 3)
+
+    # full per-query map -> file artifact (the driver records the repo, so
+    # BENCH_QUERIES.json travels with the round); stdout stays compact
+    with open(QUERIES_OUT, "w") as f:
+        json.dump(
+            {
+                "total_sec": total,
+                "n_queries": len(q_times),
+                "sf": sf,
+                "cpus": CPUS,
+                "tokens_rows": TOKENS_ROWS,
+                "calib_pre_ops_s": calib_pre,
+                "calib_post_ops_s": calib_post,
+                "probe_waited_s": waited_s,
+                "queries": q_times,
+            },
+            f,
+            indent=1,
+        )
+
+    # the COMPACT headline line — LAST line of stdout, scalars only plus the
+    # two flagship walls (keeps the driver's tail capture whole)
     print(
         json.dumps(
             {
@@ -208,7 +305,15 @@ def main():
                 "rolled_up_points_per_sec_with_closure": round(pps_c, 1),
                 "flagship_closure_wall_sec": round(wall_c, 3),
                 "tokens_rows": TOKENS_ROWS,
-                "queries": q_times,
+                "queries": {
+                    "flagship_pipeline": q_times["flagship_pipeline"],
+                    "flagship_pipeline_closure": q_times["flagship_pipeline_closure"],
+                },
+                "n_queries": len(q_times),
+                "queries_file": "BENCH_QUERIES.json",
+                "calib_pre": calib_pre,
+                "calib_post": calib_post,
+                "probe_waited_s": waited_s,
                 "sf": sf,
                 "cpus": CPUS,
             }
