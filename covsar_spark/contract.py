@@ -2358,23 +2358,49 @@ _SUITE_ROWEXPR = {
                      " + coalesce(cast(round(mean_word_len * 1000000, 0) as bigint), 0)",
 }
 
-_SUITE_ORACLE = "\nUNION ALL\n".join(
-    f"SELECT '{n}' AS entry, count(*)::BIGINT AS n_rows,"
-    f" cast(sum({e}) as bigint) AS chk FROM ({ORACLE[n]})"
-    for n, e in _SUITE_ROWEXPR.items()
-)
+# Round-6 rotation's checksum carrier: the entries freshly banked green in
+# r5 rotate out to make cap room for the r3/r4 graduates, and each keeps an
+# in-cap (n_rows, integer checksum) row here between rotations. Same
+# composition rules as _SUITE_ROWEXPR; `fingerprint`'s 60-bit XOR hash is
+# reduced mod 1e9+7 before summing (500 x 2^60 would overflow int64 —
+# `%` on non-negative bigints is identical in Spark SQL and DuckDB).
+_SUITE_ROWEXPR_2 = {
+    "ann_cosine_topk": "query_id + rank + neighbor_id",
+    "ann_lsh_q100": "query_id + rank + neighbor_id",
+    "unigram_logprob": "length(doc_id) + length(source) + n_tok"
+                       " + coalesce(cast(round(mean_nll * 1000000, 0) as bigint), 0)",
+    "token_packing": "length(source) + bin + n_docs + n_tokens"
+                     " + coalesce(cast(round(fill_ratio * 1000000, 0) as bigint), 0)",
+    "vocab_topk": "length(source) + rank + token + n",
+    "lang_id": "doc_id + length(lang_pred)"
+               " + coalesce(cast(round(stopword_ratio * 1000000, 0) as bigint), 0)",
+    "fingerprint": "doc_id + coalesce(fp, 0) % 1000000007",
+    "topk_per_group": "length(event_type) + rank + event_id",
+    "word_stats": "doc_id + n_words + n_chars + n_uniq_words + n_punct",
+    "value_histogram": "length(event_type) + bin + n"
+                       " + coalesce(cast(round(sum_value * 10000, 0) as bigint), 0)",
+    "intensity_db": "length(source) + epoch_s"
+                    " + coalesce(cast(round(db * 1000000, 0) as bigint), 0)",
+    "semi_anti_join": "length(side) + n",
+}
 
 
-@register("demoted_suite", _SUITE_ORACLE)
-def demoted_suite(spark, sf_dir):
-    """Suite checksum over 8 demoted oracle entries (see _SUITE_ROWEXPR):
-    one row per sibling with its row count and integer checksum, computed by
-    running the sibling's OWN registered Spark query and folding its output
-    through the shared dialect expression."""
+def _suite_oracle(rowexprs: dict[str, str]) -> str:
+    return "\nUNION ALL\n".join(
+        f"SELECT '{n}' AS entry, count(*)::BIGINT AS n_rows,"
+        f" cast(sum({e}) as bigint) AS chk FROM ({ORACLE[n]})"
+        for n, e in rowexprs.items()
+    )
+
+
+def _suite_df(spark, sf_dir, rowexprs: dict[str, str]) -> DataFrame:
+    """One row per covered sibling with its row count and integer checksum,
+    computed by running the sibling's OWN registered Spark query and folding
+    its output through the shared dialect expression."""
     from functools import reduce
 
     parts = []
-    for name, rowexpr in _SUITE_ROWEXPR.items():
+    for name, rowexpr in rowexprs.items():
         d = QUERIES[name](spark, sf_dir)
         agg = (
             d.select(F.expr(rowexpr).alias("rc"))
@@ -2386,6 +2412,19 @@ def demoted_suite(spark, sf_dir):
         )
         parts.append(agg)
     return reduce(lambda a, b: a.unionByName(b), parts)
+
+
+@register("demoted_suite", _suite_oracle(_SUITE_ROWEXPR))
+def demoted_suite(spark, sf_dir):
+    """Suite checksum over 8 demoted oracle entries (see _SUITE_ROWEXPR)."""
+    return _suite_df(spark, sf_dir, _SUITE_ROWEXPR)
+
+
+@register("demoted_suite_2", _suite_oracle(_SUITE_ROWEXPR_2))
+def demoted_suite_2(spark, sf_dir):
+    """Suite checksum over the 12 entries rotated out in round 6 (see
+    _SUITE_ROWEXPR_2) — each banked a direct green driver row in r5."""
+    return _suite_df(spark, sf_dir, _SUITE_ROWEXPR_2)
 
 
 # ---------------------------------------------------------------------------
@@ -2406,24 +2445,26 @@ def demoted_suite(spark, sf_dir):
 # New oracle-bearing registrations land in tier 2 automatically.
 # ---------------------------------------------------------------------------
 
-# Round-5 rotation (r4 verdict #1): every entry below either has NO green
-# driver row since r1-r3 (displaced past the cap by the r3/r4 oracle
-# graduations) or is brand new this round. The r4 graduates they displace
-# rotate out WITH their fresh green rows banked (see DRIVER_DEMOTED).
+# Round-6 rotation (r5 verdict #3): the r3/r4 oracle graduates whose last
+# direct driver row is CORRECTNESS_r03/r04 rotate back inside the cap for
+# freshness; the entries they displace all banked green rows in r5 and keep
+# in-cap checksum evidence via `demoted_suite_2`.
 DRIVER_PRIORITY = [
-    # demoted r4, last driver-green r1-r3 — rotated back in for freshness
-    "ann_cosine_topk",
-    "unigram_logprob",
-    "token_packing",
-    "vocab_topk",
-    "lang_id",
-    "fingerprint",
-    "topk_per_group",
-    "word_stats",
-    "value_histogram",
-    # new round-5 oracle entries — no driver row yet
-    "ann_lsh_q100",      # gemm-ranked LSH at production query volume
-    "demoted_suite",     # per-entry checksums over 8 demoted siblings
+    # last direct driver row r3/r4 — rotated back in for freshness
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "near_dup_lsh",
+    "nearest_point",
+    "multimodal_features",
+    "multimodal_frames",
+    "multimodal_resize",
+    "multimodal_audio_stats",
+    "gapfill_cross_1m",
+    "boilerplate_ngrams",
+    "phase_unwrap",
+    # checksum carriers: fresh per-entry evidence for 20 demoted siblings
+    "demoted_suite",     # the 8 long-demoted duplicates (r1-r2 direct rows)
+    "demoted_suite_2",   # the 12 entries rotated out this round (green r5)
 ]
 
 # Oracle-bearing entries that are weaker variants of an in-cap sibling:
@@ -2438,17 +2479,15 @@ DRIVER_PRIORITY = [
 # math/complex path).
 # Every entry here is re-verified against its oracle EVERY pytest run
 # (tests/test_contract_ordering.py::test_demoted_entries_still_pass_their_oracles),
-# so demotion no longer means regressions are invisible — and the 8
-# _SUITE_ROWEXPR entries additionally keep an in-cap external checksum row
-# via `demoted_suite`.
-# Round-5 rotation: the r3/r4 oracle graduates below (ann_lsh_topk,
-# ann_ivf_topk, near_dup_lsh, nearest_point, the four multimodal entries,
-# gapfill_cross_1m, boilerplate_ngrams, phase_unwrap) banked fresh green
-# driver rows in CORRECTNESS_r03/r04 and rotate out to make cap room for
-# the entries whose last driver row is r1-r3 (see DRIVER_PRIORITY); their
-# signal stays externally covered by in-cap siblings (ann_lsh_q100 for the
-# ANN family, gapfill_zero/linear_1m for gap-fill, repetition_stats/
-# tfidf_topterms for the text family) plus the per-pytest oracle re-check.
+# so demotion no longer means regressions are invisible — and every
+# _SUITE_ROWEXPR / _SUITE_ROWEXPR_2 entry additionally keeps an in-cap
+# external checksum row via `demoted_suite` / `demoted_suite_2`.
+# Round-6 rotation: every entry rotated out below banked a fresh green
+# driver row in CORRECTNESS_r05 (the 9 r5-rotated entries + ann_lsh_q100)
+# or holds green rows r1-r5 (intensity_db, semi_anti_join — demoted to make
+# exact cap room for the 11 promoted r3/r4 graduates; their SURVEY rows stay
+# covered in-cap by interferogram (A4 dB path) and lsh_candidates (§2.7 set
+# ops) plus their suite-2 checksum rows).
 DRIVER_DEMOTED = [
     "running_sum",
     "lag_diff",
@@ -2458,18 +2497,19 @@ DRIVER_DEMOTED = [
     "jaccard_pairs",
     "embedding_norms",
     "quality_score",
-    # rotated out round 5 with green r3/r4 rows banked
-    "ann_lsh_topk",
-    "ann_ivf_topk",
-    "near_dup_lsh",
-    "nearest_point",
-    "multimodal_features",
-    "multimodal_frames",
-    "multimodal_resize",
-    "multimodal_audio_stats",
-    "gapfill_cross_1m",
-    "boilerplate_ngrams",
-    "phase_unwrap",
+    # rotated out round 6 with green r5 rows banked
+    "ann_cosine_topk",
+    "unigram_logprob",
+    "token_packing",
+    "vocab_topk",
+    "lang_id",
+    "fingerprint",
+    "topk_per_group",
+    "word_stats",
+    "value_histogram",
+    "ann_lsh_q100",
+    "intensity_db",
+    "semi_anti_join",
 ]
 
 

@@ -58,15 +58,16 @@ def test_every_query_has_oracle_or_is_known_rows_only():
 
 
 def test_suite_checksum_covers_only_demoted_entries():
-    """demoted_suite exists to carry in-cap evidence for entries OUTSIDE the
-    cap — a promoted entry should leave _SUITE_ROWEXPR (its direct driver
-    row supersedes the checksum), and every covered name must still be a
-    registered oracle entry."""
+    """The demoted_suite entries exist to carry in-cap evidence for entries
+    OUTSIDE the cap — a promoted entry should leave its rowexpr dict (its
+    direct driver row supersedes the checksum), and every covered name must
+    still be a registered oracle entry."""
     from covsar_spark import contract
 
-    for name in contract._SUITE_ROWEXPR:
-        assert name in contract.DRIVER_DEMOTED, f"{name} covered but not demoted"
-        assert name in contract.ORACLE, f"{name} covered but has no oracle"
+    for rowexprs in (contract._SUITE_ROWEXPR, contract._SUITE_ROWEXPR_2):
+        for name in rowexprs:
+            assert name in contract.DRIVER_DEMOTED, f"{name} covered but not demoted"
+            assert name in contract.ORACLE, f"{name} covered but has no oracle"
 
 
 def test_demoted_entries_still_pass_their_oracles(spark):
