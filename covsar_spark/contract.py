@@ -1858,9 +1858,15 @@ def near_dup_lsh_q(spark, sf_dir):
     _assert_pinned(
         sim_ops.resolve_n_planes(n, n_planes=6), 6, "near_dup_lsh", "n_planes"
     )
+    # auto_tables resolves to the oracle's pinned 4 tables at 6 planes
+    # (banding identity: ceil(ln(0.2)/ln(1-0.85644^6)) = 4) and holds the
+    # (sim 0.90, recall 0.8) operating point as auto_planes grows r
+    _assert_pinned(
+        sim_ops.resolve_n_tables(6, n_tables=4), 4, "near_dup_lsh", "n_tables"
+    )
     return sim_ops.near_dup_lsh(
         _read(spark, sf_dir, "embeddings"), threshold=0.35, n_planes=6, n_tables=4,
-        auto_planes=True, n_vecs=n,
+        auto_planes=True, n_vecs=n, auto_tables=True,
     )
 
 

@@ -236,6 +236,35 @@ def resolve_n_planes(n: int, n_planes: int = 4, target_bucket: int = 32) -> int:
     return n_planes
 
 
+def resolve_n_tables(
+    n_planes: int,
+    n_tables: int = 4,
+    target_sim: float = 0.90,
+    target_recall: float = 0.8,
+) -> int:
+    """Banding-identity table count: the smallest b with
+    1 - (1 - p^r)^b >= target_recall for a pair at ``target_sim``, where
+    p = 1 - arccos(s)/pi is the per-plane collision probability of
+    sign-of-projection LSH (Charikar). This is auto_planes' missing
+    companion (round-5 verdict #4): each plane auto_planes adds multiplies
+    a table's collision probability by p, so at a FIXED table count recall
+    decays as the corpus grows (measured 0.586 at the 10x corpus, 4 tables,
+    sim-0.90 — BENCH.md r5). Growing b by the same identity holds the
+    declared (target_sim, target_recall) operating point at any corpus
+    size; candidate volume stays ~linear because each table's expected
+    occupancy is still held by auto_planes. At the oracle-pinned r=6,
+    b = ceil(ln(0.2)/ln(1 - 0.85644^6)) = 4 — exactly the pinned 4 tables,
+    so the contract entry can run with both auto knobs on."""
+    import math
+
+    p = 1.0 - math.acos(min(1.0, max(-1.0, target_sim))) / math.pi
+    pr = p**n_planes
+    if pr >= 1.0:
+        return n_tables
+    b = math.ceil(math.log(1.0 - target_recall) / math.log(1.0 - pr))
+    return max(n_tables, b)
+
+
 def ivf_centroids(dim: int, n_lists: int = 16, seed: int = 77) -> np.ndarray:
     """Deterministic INTEGER centroid directions from md5 arithmetic — the
     SQL-replayable analogue of the seeded-Gaussian quantizer (same derivation
@@ -459,6 +488,9 @@ def near_dup_lsh(
     auto_planes: bool = False,
     target_bucket: int = 32,
     n_vecs: int | None = None,
+    auto_tables: bool = False,
+    target_sim: float = 0.90,
+    target_recall: float = 0.8,
 ) -> DataFrame:
     """Sub-quadratic near-duplicates: multi-table hyperplane-LSH candidates
     (a pair is a candidate if it collides in ANY of the ``n_tables``
@@ -482,17 +514,24 @@ def near_dup_lsh(
 
     Recall trade: each added plane multiplies a table's collision
     probability for a sim-s pair by p = 1 - arccos(s)/pi, so holding
-    recall while planes grow requires raising ``n_tables`` by ~p^-dr
+    recall while planes grow requires raising ``n_tables``
     (1-(1-p^r)^b banding algebra). MEASURED at the 10x corpus (20.5k
     vectors, auto -> 10 planes, 500 planted sim-0.90 pairs, BENCH.md r5):
     recall 0.586 / 0.834 / 0.976 at 4 / 8 / 16 tables — within 2 points
     of the banding prediction (0.61 / 0.85 / 0.98), with wall 7.7 / 4.0 /
-    23.6 s tracking candidate volume. Both knobs are exposed; auto-sizing
-    moves only the candidate-volume knob and leaves the recall budget to
-    the caller."""
+    23.6 s tracking candidate volume. ``auto_tables=True`` (round-6) closes
+    the loop: b is computed from the banding identity at the declared
+    (``target_sim``, ``target_recall``) operating point AFTER plane
+    resolution (`resolve_n_tables`), so the recall floor survives corpus
+    growth with auto knobs only — pinned by the planted-pair test in
+    tests/test_similarity.py and re-measured at the 10x corpus (BENCH.md
+    r6)."""
     if auto_planes:
         n = n_vecs if n_vecs is not None else emb.count()
         n_planes = resolve_n_planes(n, n_planes, target_bucket)
+    if auto_tables:
+        # AFTER plane resolution: b compensates for whatever r came out
+        n_tables = resolve_n_tables(n_planes, n_tables, target_sim, target_recall)
     keys = F.explode(
         F.array(
             *[

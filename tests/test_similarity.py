@@ -126,3 +126,64 @@ def test_lsh_bucket_deterministic_across_batches(spark):
     b1 = spark.createDataFrame(pdf1).select(b(F.col("embedding")).alias("b")).first()["b"]
     b2 = spark.createDataFrame(pdf2).select(b(F.col("embedding")).alias("b")).collect()[-1]["b"]
     assert b1 == b2
+
+
+def _planted_corpus(n_bg: int, n_pairs: int, dim: int = 64, sim: float = 0.90, seed: int = 7):
+    """Background unit vectors + n_pairs planted pairs at EXACT cosine
+    ``sim`` (v = sim*u + sqrt(1-sim^2)*w with w unit-orthogonal to u).
+    Random 64-dim background cosines are ~N(0, 1/64), so nothing else
+    crosses a 0.55 threshold and planted recall is measured cleanly."""
+    rng = np.random.default_rng(seed)
+    bg = rng.normal(0, 1, (n_bg, dim))
+    bg /= np.linalg.norm(bg, axis=1, keepdims=True)
+    u = rng.normal(0, 1, (n_pairs, dim))
+    u /= np.linalg.norm(u, axis=1, keepdims=True)
+    w = rng.normal(0, 1, (n_pairs, dim))
+    w -= np.einsum("ij,ij->i", w, u)[:, None] * u
+    w /= np.linalg.norm(w, axis=1, keepdims=True)
+    v = sim * u + np.sqrt(1 - sim * sim) * w
+    vecs = np.vstack([bg, u, v])
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(len(vecs), dtype=np.int64),
+            "embedding": [x.tolist() for x in vecs],
+            "label": ["x"] * len(vecs),
+        }
+    )
+    planted = {(n_bg + i, n_bg + n_pairs + i) for i in range(n_pairs)}
+    return pdf, planted
+
+
+def test_auto_tables_holds_recall_at_10x(spark):
+    """Round-5 verdict #4: auto_planes holds candidate volume ~linear but
+    lets recall decay with corpus growth (measured 0.586 at the 10x corpus
+    with the fixed 4 tables). auto_tables computes b from the banding
+    identity at the declared (sim 0.90, recall 0.8) point AFTER plane
+    resolution; at the 10x corpus (20.5k vectors -> 10 planes, 7 tables)
+    planted-pair recall must clear the declared floor with auto knobs only
+    (deterministic fixture: measured 0.820, banding prediction 0.812)."""
+    from covsar_spark.operators.similarity import resolve_n_planes, resolve_n_tables
+
+    pdf, planted = _planted_corpus(19500, 500)
+    n = len(pdf)
+    assert resolve_n_planes(n, 4, 32) == 10
+    assert resolve_n_tables(10) == 7
+    sdf = spark.createDataFrame(pdf)
+    sdf.persist().count()
+    try:
+        got = near_dup_lsh(
+            sdf, threshold=0.55, auto_planes=True, auto_tables=True, n_vecs=n
+        ).toPandas()
+    finally:
+        sdf.unpersist()
+    got_set = set(zip(got["id_a"].astype(int), got["id_b"].astype(int)))
+    recall = len(got_set & planted) / len(planted)
+    assert recall >= 0.8, f"auto-knob recall at 10x = {recall:.3f}"
+
+
+def test_auto_tables_reproduces_oracle_pin():
+    """At the oracle-pinned 6 planes the banding identity resolves to the
+    pinned 4 tables — the contract entry runs both auto knobs safely."""
+    from covsar_spark.operators.similarity import resolve_n_tables
+
+    assert resolve_n_tables(6, n_tables=4) == 4
