@@ -25,7 +25,15 @@ tests/test_streaming_span.py):
   the two paths.
 - coverage: a streamed span exists only if >= 1 rollup row fell in it; the
   batch sentinel union also emits fully-empty interior spans. A deployment
-  needing those emits a per-span heartbeat row upstream.
+  needing those unions per-span HEARTBEAT rows upstream (`heartbeat_rows`,
+  round-6): a heartbeat is a rollup row with ``filled=True`` — it creates
+  the span's state and arms its timeout but is never appended as an
+  observation, so a span that saw only heartbeats finalizes as the full
+  zero-filled grid, bit-identical to the batch sentinel's empty-span row
+  (tests/test_streaming_span.py::test_heartbeat_emits_empty_interior_spans).
+  Corollary: feed this operator RAW rollups (filled=False), exactly like
+  the batch `tier_kernel` — pre-gap-filled rows are treated as markers,
+  because the kernel re-derives gap lineage on its own dense grid.
 
 Scale: state per in-flight group is O(span/tier) epochs (60 for 1m/1h) of
 six scalars, bounded by construction; groups die at watermark passage, so
@@ -71,9 +79,15 @@ def _finalize(source: str, span_s: int, tier_s: int, span: int, p: int, st) -> p
     reused verbatim and parity is by construction."""
     epochs, tok, docs, mx, mn, rate = (np.asarray(a) for a in st)
     order = np.argsort(epochs, kind="stable")
-    # keep the LAST row per epoch (a re-finalized upstream window wins)
+    # keep the LAST row per epoch (a re-finalized upstream window wins);
+    # a heartbeat-only span has ZERO observations — sentinel-only input
+    # yields the full zero-filled grid, the batch empty-span layout
     epochs = epochs[order]
-    keep = np.concatenate([epochs[1:] != epochs[:-1], [True]])
+    keep = (
+        np.concatenate([epochs[1:] != epochs[:-1], [True]])
+        if len(epochs)
+        else np.zeros(0, dtype=bool)
+    )
     sel = order[keep]
     n = 1 + len(sel)
     pdf = pd.DataFrame(
@@ -114,12 +128,15 @@ def make_span_updater(tier: str, p: int = EIGEN_P):
             list(ep), list(tok), list(docs), list(mx), list(mn), list(rate)
         )
         for pdf in pdfs:
-            ep.extend(int(v) for v in pdf["epoch_s"])
-            tok.extend(int(v) for v in pdf["token_count"])
-            docs.extend(int(v) for v in pdf["n_docs"])
-            mx.extend(float(v) for v in pdf["max_tok"])
-            mn.extend(float(v) for v in pdf["min_tok"])
-            rate.extend(float(v) for v in pdf["rate"])
+            # filled=True rows are heartbeats/gap markers: they create the
+            # span's state + timeout but are never observations
+            obs = ~pdf["filled"].to_numpy(dtype=bool)
+            ep.extend(int(v) for v in pdf["epoch_s"][obs])
+            tok.extend(int(v) for v in pdf["token_count"][obs])
+            docs.extend(int(v) for v in pdf["n_docs"][obs])
+            mx.extend(float(v) for v in pdf["max_tok"][obs])
+            mn.extend(float(v) for v in pdf["min_tok"][obs])
+            rate.extend(float(v) for v in pdf["rate"][obs])
         end_ms = (int(span_s) + span) * 1000
         if end_ms <= state.getCurrentWatermarkMs():
             # the watermark already passed this span's end (its rows arrived
@@ -154,7 +171,10 @@ def span_stream(
         .withWatermark("ts", watermark)
         .withColumn("span_s", (F.floor(F.col("epoch_s") / span) * span).cast("long"))
         # ts must survive to the stateful operator — it carries the watermark
-        .select("source", "span_s", "ts", "epoch_s", "token_count", "n_docs", "max_tok", "min_tok", "rate")
+        .select(
+            "source", "span_s", "ts", "epoch_s", "token_count", "n_docs",
+            "max_tok", "min_tok", "rate", "filled",
+        )
     )
     return with_ts.groupBy("source", "span_s").applyInPandasWithState(
         make_span_updater(tier, p),
@@ -162,6 +182,40 @@ def span_stream(
         SPAN_STATE_SCHEMA,
         "append",
         GroupStateTimeout.EventTimeTimeout,
+    )
+
+
+def heartbeat_rows(
+    spark: SparkSession, sources: list[str], start_s: int, end_s: int, tier: str
+) -> DataFrame:
+    """Opt-in upstream heartbeat emitter (round-5 verdict #7): one
+    ``filled=True`` ROLLUP_SCHEMA row per (source, span boundary) in
+    [start_s, end_s). Union these with the rollup stream (or append them to
+    the file-source dir) and every covered span — including fully-empty
+    interior ones — exists streamed, finalizing as the batch sentinel's
+    zero-filled empty-span row. In a live deployment a source registry
+    emits these on a timer; here they are generated relationally from the
+    registry list (no driver loop — one row per span via `sequence`)."""
+    span = EIGEN_SPAN[tier]
+    reg = spark.createDataFrame([(s,) for s in sources], "source string")
+    return reg.select(
+        "source",
+        F.explode(
+            F.sequence(
+                F.lit((start_s // span) * span).cast("long"),
+                F.lit(end_s - 1).cast("long"),
+                F.lit(span).cast("long"),
+            )
+        ).alias("epoch_s"),
+    ).select(
+        "source",
+        "epoch_s",
+        F.lit(0).cast("long").alias("token_count"),
+        F.lit(0).cast("long").alias("n_docs"),
+        F.lit(None).cast("int").alias("max_tok"),
+        F.lit(None).cast("int").alias("min_tok"),
+        F.lit(0.0).alias("rate"),
+        F.lit(True).alias("filled"),
     )
 
 

@@ -8,11 +8,13 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from covsar_spark.operators.tier_kernel import tier_kernel
 from covsar_spark.schemas import EIGEN_SPAN, ROLLUP_SCHEMA, TIERS
 from covsar_spark.streaming.span_stream import (
+    heartbeat_rows,
     run_span_stream_to_files,
     run_span_stream_to_memory,
 )
@@ -23,36 +25,42 @@ SPAN = EIGEN_SPAN[TIER]
 BASE = 1_700_000_000 - (1_700_000_000 % SPAN)  # span-aligned origin
 
 
-def _rollup_rows():
-    """3 sources x 3 spans of 1m rollup rows with in-span gaps. Each span
+def _rollup_rows(tier_s: int = TIER_S, span: int = SPAN, base: int = BASE):
+    """3 sources x 3 spans of rollup rows with in-span gaps. Each span
     keeps its FIRST epoch (no fully-empty spans — a streamed span needs >=1
     row to exist) and each source keeps its span-aligned first/last epoch
     (so the batch extent clip is a no-op and parity is exact)."""
     rows = []
     for si, source in enumerate(["alpha", "beta", "gamma"]):
         for sp in range(3):
-            span_s = BASE + sp * SPAN
-            for k in range(SPAN // TIER_S):
-                epoch = span_s + k * TIER_S
-                is_last = sp == 2 and k == SPAN // TIER_S - 1
+            span_s = base + sp * span
+            for k in range(span // tier_s):
+                epoch = span_s + k * tier_s
+                is_last = sp == 2 and k == span // tier_s - 1
                 # deterministic gap pattern, never the span's first epoch
                 if k > 0 and not is_last and (k * 7 + si + sp) % 3 == 0:
                     continue
                 tok = 50 + (k * 13 + si * 101 + sp * 29) % 400
                 rows.append(
                     (source, epoch, tok, 1 + tok % 7, tok + 5, max(tok - 5, 0),
-                     tok / float(TIER_S), False)
+                     tok / float(tier_s), False)
                 )
     return rows
 
 
-def test_span_stream_matches_batch_kernel(spark, tmp_path):
-    rows = _rollup_rows()
+@pytest.mark.parametrize("tier", ["1m", "1h"])
+def test_span_stream_matches_batch_kernel(spark, tmp_path, tier):
+    """Parity parametrized over retention tiers (round-5 verdict #7 added
+    the 1h case): 1m spans are 1h wide (60 epochs), 1h spans are 1d wide
+    (24 epochs) — different grid widths, same bit-exact contract."""
+    tier_s, span = TIERS[tier], EIGEN_SPAN[tier]
+    base = 1_700_000_000 - (1_700_000_000 % span)
+    rows = _rollup_rows(tier_s, span, base)
     # flush source: advances the watermark past every real span's end so all
     # real spans time out and emit; its own span stays open and is excluded
-    flush_epoch = BASE + 10 * SPAN
+    flush_epoch = base + 10 * span
     pdf = pd.DataFrame(
-        rows + [("zz_flush", flush_epoch, 1, 1, 1, 1, 1.0 / TIER_S, False)],
+        rows + [("zz_flush", flush_epoch, 1, 1, 1, 1, 1.0 / tier_s, False)],
         columns=[f.name for f in ROLLUP_SCHEMA.fields],
     )
     path = str(tmp_path / "rollup")
@@ -62,7 +70,10 @@ def test_span_stream_matches_batch_kernel(spark, tmp_path):
     # in arbitrary order within one write, so any real row may trail the max
     # seen event time by up to the horizon without being "late"
     got = (
-        run_span_stream_to_memory(spark, path, TIER, name="span_parity", watermark="4 hours")
+        run_span_stream_to_memory(
+            spark, path, tier, name=f"span_parity_{tier}",
+            watermark=f"{4 * span} seconds",
+        )
         .filter(F.col("source") != "zz_flush")
         .toPandas()
         .sort_values(["source", "span_s"])
@@ -74,7 +85,7 @@ def test_span_stream_matches_batch_kernel(spark, tmp_path):
         schema=ROLLUP_SCHEMA,
     )
     exp = (
-        tier_kernel(batch_in, TIER, emit_points=False)
+        tier_kernel(batch_in, tier, emit_points=False)
         .toPandas()
         .sort_values(["source", "span_s"])
         .reset_index(drop=True)
@@ -88,6 +99,46 @@ def test_span_stream_matches_batch_kernel(spark, tmp_path):
     assert got["tc"].tolist() == exp["tc"].tolist()
     for g, e in zip(got["eig"], exp["eig"]):
         assert np.array_equal(np.asarray(g), np.asarray(e))
+    assert [bytes(b) for b in got["ts_blob"]] == [bytes(b) for b in exp["ts_blob"]]
+    assert [bytes(b) for b in got["val_blob"]] == [bytes(b) for b in exp["val_blob"]]
+
+
+def test_heartbeat_emits_empty_interior_spans(spark, tmp_path):
+    """Opt-in heartbeats close the documented coverage gap: data in spans 0
+    and 2 only, heartbeats over spans 0-2 — the streamed output must contain
+    the fully-empty interior span 1 as the batch sentinel's zero-filled row,
+    bit-identical to the batch kernel over the SAME data rows (which emits
+    span 1 because the source extent covers it)."""
+    cols = [f.name for f in ROLLUP_SCHEMA.fields]
+    rows = [r for r in _rollup_rows() if r[0] == "alpha"
+            and (r[1] - BASE) // SPAN in (0, 2)]
+    flush = [("zz_flush", BASE + 10 * SPAN, 1, 1, 1, 1, 1.0 / TIER_S, False)]
+    hb = heartbeat_rows(spark, ["alpha"], BASE, BASE + 3 * SPAN, TIER).toPandas()
+    pdf = pd.concat(
+        [pd.DataFrame(rows + flush, columns=cols), hb[cols]], ignore_index=True
+    )
+    path = str(tmp_path / "rollup_hb")
+    spark.createDataFrame(pdf, schema=ROLLUP_SCHEMA).coalesce(2).write.parquet(path)
+
+    got = (
+        run_span_stream_to_memory(spark, path, TIER, name="span_hb", watermark="4 hours")
+        .filter(F.col("source") == "alpha")
+        .toPandas()
+        .sort_values("span_s")
+        .reset_index(drop=True)
+    )
+    assert got["span_s"].tolist() == [BASE, BASE + SPAN, BASE + 2 * SPAN]
+
+    batch_in = spark.createDataFrame(pd.DataFrame(rows, columns=cols), schema=ROLLUP_SCHEMA)
+    exp = (
+        tier_kernel(batch_in, TIER, emit_points=False)
+        .toPandas()
+        .sort_values("span_s")
+        .reset_index(drop=True)
+    )
+    assert exp["span_s"].tolist() == got["span_s"].tolist()
+    assert got["lam"].tolist() == exp["lam"].tolist()
+    assert got["n_epochs"].tolist() == exp["n_epochs"].tolist()
     assert [bytes(b) for b in got["ts_blob"]] == [bytes(b) for b in exp["ts_blob"]]
     assert [bytes(b) for b in got["val_blob"]] == [bytes(b) for b in exp["val_blob"]]
 
