@@ -113,6 +113,29 @@ def build_amplified(spark, k_copies: int) -> str:
     return out_dir
 
 
+def _auto_overrides():
+    """Auto-sized stand-ins for contract entries that PIN oracle parameters
+    (round-6): the contract's `_assert_pinned` guards correctly RAISE past
+    the 2048-vector ceiling — which the 10x amplified corpus exceeds by
+    design. The scale study's job is to time the SCALE path, i.e. the
+    operators with their auto knobs resolving freely; the pinned contract
+    wrappers stay the driver-correctness surface."""
+    from covsar_spark.operators import similarity as sim
+
+    def near_dup_lsh_auto(spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return sim.near_dup_lsh(
+            emb, threshold=0.35, n_planes=6, n_tables=4,
+            auto_planes=True, auto_tables=True,
+        )
+
+    def ann_ivf_auto(spark, sf_dir):
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return sim.ivf_topk(emb, n_queries=5, k=10, auto_lists=True)
+
+    return {"near_dup_lsh": near_dup_lsh_auto, "ann_ivf_topk": ann_ivf_auto}
+
+
 def time_suite(spark, queries, names, sf_dir: str, repeats: int = 3) -> dict[str, float]:
     """Best-of-``repeats`` wall per query (round-5 advice): a single-shot
     sample lets one co-tenant spike flag a linear query as superlinear or
@@ -150,8 +173,9 @@ def main():
         subset = sys.argv[3].split(",")
         names = [n for n in names if n in subset]
     reps = int(os.environ.get("SPARK_GRAFT_SCALE_REPEATS", "3"))
-    t1 = time_suite(spark, QUERIES, names, SRC, repeats=reps)
-    t10 = time_suite(spark, QUERIES, names, amp_dir, repeats=reps)
+    queries = {**QUERIES, **_auto_overrides()}
+    t1 = time_suite(spark, queries, names, SRC, repeats=reps)
+    t10 = time_suite(spark, queries, names, amp_dir, repeats=reps)
 
     rows, flagged = [], []
     for n in names:
@@ -169,6 +193,7 @@ def main():
         "k_copies": k_copies,
         "floor_s": floor_s,
         "repeats_best_of": reps,
+        "auto_overridden": sorted(n for n in _auto_overrides() if n in names),
         "amplified_dir": amp_dir,
         "flagged_superlinear": flagged,
         "queries": rows,
