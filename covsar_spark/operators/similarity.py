@@ -320,8 +320,17 @@ def ivf_topk(
     ceil(n / target_list)) so probed-candidate volume per query stays
     ~n_probe * target_list. The oracle pins 16 lists, which auto-sizing
     reproduces for corpora up to 16 * target_list = 2048 vectors — all
-    driver scales. Recall holds under list growth by scaling ``n_probe``
-    proportionally (the probed FRACTION of the corpus is the recall knob)."""
+    driver scales.
+
+    Recall under list growth — MEASURED, not argued (round 6): at the 10x
+    corpus (20.5k vectors -> 161 lists) planted-pair top-1 recall for
+    sim-0.90 partners is 0.806 / 0.926 / 0.988 / 1.0 at n_probe
+    4 / 8 / 16 / 32 (BENCH_SCALE_STUDY.json `ivf_recall_10x`, pinned by
+    tests/test_similarity.py::test_ivf_auto_lists_holds_recall_at_10x):
+    the md5-conical quantizer localizes near neighbors well enough that
+    the DEFAULT probe count already clears 0.8 while probing only 2.5% of
+    the corpus. ``n_probe`` remains the recall-vs-candidates knob when a
+    higher floor is needed."""
     if auto_lists:
         n = n_vecs if n_vecs is not None else emb.count()
         n_lists = resolve_n_lists(n, n_lists, target_list)

@@ -128,7 +128,14 @@ def test_lsh_bucket_deterministic_across_batches(spark):
     assert b1 == b2
 
 
-def _planted_corpus(n_bg: int, n_pairs: int, dim: int = 64, sim: float = 0.90, seed: int = 7):
+def _planted_corpus(
+    n_bg: int,
+    n_pairs: int,
+    dim: int = 64,
+    sim: float = 0.90,
+    seed: int = 7,
+    pairs_first: bool = False,
+):
     """Background unit vectors + n_pairs planted pairs at EXACT cosine
     ``sim`` (v = sim*u + sqrt(1-sim^2)*w with w unit-orthogonal to u).
     Random 64-dim background cosines are ~N(0, 1/64), so nothing else
@@ -142,7 +149,10 @@ def _planted_corpus(n_bg: int, n_pairs: int, dim: int = 64, sim: float = 0.90, s
     w -= np.einsum("ij,ij->i", w, u)[:, None] * u
     w /= np.linalg.norm(w, axis=1, keepdims=True)
     v = sim * u + np.sqrt(1 - sim * sim) * w
-    vecs = np.vstack([bg, u, v])
+    # pairs_first: u's get ids 0..n_pairs-1 (usable as ANN query ids with
+    # their partner at id + n_pairs); else pairs sit after the background
+    vecs = np.vstack([u, v, bg]) if pairs_first else np.vstack([bg, u, v])
+    base = 0 if pairs_first else n_bg
     pdf = pd.DataFrame(
         {
             "vec_id": np.arange(len(vecs), dtype=np.int64),
@@ -150,7 +160,7 @@ def _planted_corpus(n_bg: int, n_pairs: int, dim: int = 64, sim: float = 0.90, s
             "label": ["x"] * len(vecs),
         }
     )
-    planted = {(n_bg + i, n_bg + n_pairs + i) for i in range(n_pairs)}
+    planted = {(base + i, base + n_pairs + i) for i in range(n_pairs)}
     return pdf, planted
 
 
@@ -187,3 +197,35 @@ def test_auto_tables_reproduces_oracle_pin():
     from covsar_spark.operators.similarity import resolve_n_tables
 
     assert resolve_n_tables(6, n_tables=4) == 4
+
+
+def test_ivf_auto_lists_holds_recall_at_10x(spark):
+    """Sibling measurement to the LSH auto_tables test: under auto_lists the
+    probed FRACTION of the corpus shrinks as it grows (161 lists at 20.5k
+    vectors, n_probe=4 probes 2.5%), yet the md5-conical quantizer localizes
+    sim-0.90 partners well enough that planted-pair top-1 recall clears 0.8
+    at the DEFAULT probe count (deterministic fixture: measured 0.806; full
+    curve 0.806/0.926/0.988/1.0 at probes 4/8/16/32 — BENCH_SCALE_STUDY.json
+    ivf_recall_10x)."""
+    from covsar_spark.operators.similarity import ivf_topk, resolve_n_lists
+
+    n_pairs = 500
+    pdf, _ = _planted_corpus(19500, n_pairs, pairs_first=True)
+    n = len(pdf)
+    assert resolve_n_lists(n) == 161
+    sdf = spark.createDataFrame(pdf)
+    sdf.persist().count()
+    try:
+        got = ivf_topk(
+            sdf, n_queries=n_pairs, k=10, n_probe=4, auto_lists=True, n_vecs=n
+        ).toPandas()
+    finally:
+        sdf.unpersist()
+    top = got[got["rank"] == 1]
+    hits = sum(
+        1
+        for r in top.itertuples()
+        if int(r.neighbor_id) == int(r.query_id) + n_pairs
+    )
+    recall = hits / n_pairs
+    assert recall >= 0.8, f"ivf auto_lists planted top-1 recall = {recall:.3f}"
