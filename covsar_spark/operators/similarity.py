@@ -147,12 +147,62 @@ def lsh_bucket_udf(n_planes: int = 8, seed: int = 123):
     return bucket
 
 
+def probed_fraction(n_planes: int) -> float:
+    """Fraction of the 2^P bucket space a Hamming-2 multi-probe covers:
+    (1 + P + C(P, 2)) / 2^P. Expected candidates per query per table is
+    this fraction x corpus size (uniform-occupancy estimate)."""
+    return (1 + n_planes + n_planes * (n_planes - 1) // 2) / float(1 << n_planes)
+
+
+def resolve_planes_topk(
+    n: int,
+    n_planes: int = 8,
+    n_tables: int = 1,
+    target_cands: int = 2048,
+    max_planes: int = 24,
+) -> int:
+    """Smallest P >= n_planes whose expected TOTAL candidate volume per
+    query (probed_fraction(P) * n * n_tables) fits ``target_cands`` — the
+    top-k analogue of `resolve_n_planes` (round 6): with a FIXED P the
+    Hamming-2 probe set covers a fixed fraction of bucket space, so
+    per-query candidates grow linearly with the corpus. MEASURED at the
+    10x corpus (20.5k vectors, single table): recall 0.897/0.830/0.763/
+    0.650 at P=8/10/12/14 (probing 14/5.5/1.9/0.65% of the corpus) —
+    deeper planes trade recall for volume, and `n_tables` buys it back AND
+    MORE (test_lsh_topk_multitable_recall_at_10x): at the same 2048
+    candidate budget, 2/4/8 tables auto-resolve to P=11/12/13 and read
+    0.950/1.000/1.000 planted top-1 recall — beating the fixed
+    single-table P=8 form (0.897) at HALF its candidate volume, because
+    independent shallow-ish tables cover the neighborhood better than one
+    deep probe set."""
+    p = n_planes
+    while p < max_planes and probed_fraction(p) * n * n_tables > target_cands:
+        p += 1
+    return p
+
+
 def lsh_topk(
-    emb: DataFrame, n_queries: int = 5, k: int = 10, n_planes: int = 8
+    emb: DataFrame,
+    n_queries: int = 5,
+    k: int = 10,
+    n_planes: int = 8,
+    n_tables: int = 1,
+    seed: int = 123,
+    auto_planes: bool = False,
+    target_cands: int = 2048,
+    n_vecs: int | None = None,
 ) -> DataFrame:
     """Bucketed ANN: exact cosine ranking restricted to the query's bucket
-    plus its Hamming-1 probe buckets (multi-probe LSH — recall measured
-    against `cosine_topk` in tests/test_similarity.py).
+    plus its Hamming<=2 probe buckets (multi-probe LSH — recall measured
+    against `cosine_topk` in tests/test_similarity.py), per table.
+
+    Defaults (8 planes, 1 table, seed 123) reproduce the SQL oracle's
+    pinned single-table form bit-for-bit. The SCALE path mirrors
+    `near_dup_lsh`: ``auto_planes`` deepens P so expected candidates per
+    query stay ~``target_cands`` (see `resolve_planes_topk`), and
+    ``n_tables`` independent tables (seed + 1000t, the near_dup seeds)
+    buy the recall back that deeper planes cost — the union of per-table
+    candidate sets is deduped as bare id pairs before any vector ships.
 
     Candidate scoring is the `pair_cosine` Arrow gemm (one einsum per
     batch), not the interpreted HOF fold: at production query volumes
@@ -161,8 +211,26 @@ def lsh_topk(
     The cosine value is identical to the fold within 1 ulp and ranking is
     id-tie-broken, so the exact SQL oracle is unaffected — measured in
     bench.py's `ann_lsh_q100` line."""
-    bucket = lsh_bucket_udf(n_planes)
-    with_b = emb.withColumn("bucket", bucket(F.col("embedding")))
+    if auto_planes:
+        n = n_vecs if n_vecs is not None else emb.count()
+        n_planes = resolve_planes_topk(n, n_planes, n_tables, target_cands)
+    # one (table, bucket) key per vector per table — identical layout to
+    # near_dup_lsh's keys; n_tables=1 with table seed `seed + 0` is exactly
+    # the historical single-table form the SQL oracle replays
+    keys = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(t).alias("t"),
+                    lsh_bucket_udf(n_planes, seed + 1000 * t)(F.col("embedding")).alias("bk"),
+                )
+                for t in range(n_tables)
+            ]
+        )
+    ).alias("key")
+    with_b = emb.select("vec_id", keys).select(
+        "vec_id", F.col("key.t").alias("t"), F.col("key.bk").alias("bucket")
+    )
     # multi-probe to Hamming distance 2: self + single-bit + two-bit flips
     # (1 + P + P(P-1)/2 buckets of the 2^P total). Depth 2 is the recall
     # knob that keeps the integer-plane variant >= the 0.6 floor; candidate
@@ -180,19 +248,21 @@ def lsh_topk(
         with_b.filter(F.col("vec_id") < n_queries)
         .select(
             F.col("vec_id").alias("query_id"),
+            "t",
             F.explode(probes).alias("bucket"),
         )
     )
-    c = with_b.select(F.col("vec_id").alias("neighbor_id"), "bucket")
+    c = with_b.select(F.col("vec_id").alias("neighbor_id"), "t", "bucket")
     # candidates as BARE id pairs, deduped BEFORE any vector ships (the
-    # near_dup_lsh pattern): multi-probe buckets overlap, and a dedup
-    # shuffle carrying two 64-float vectors per duplicate candidate costs
-    # more than the interpreted fold it replaced (measured round 5 — the
-    # first gemm cut scored after a vector-heavy dropDuplicates and LOST to
-    # the fold at 20k corpus x 1000 queries). Vectors attach once per
-    # UNIQUE pair; scoring is one pair_cosine einsum per Arrow batch.
+    # near_dup_lsh pattern): multi-probe buckets overlap (and so do
+    # tables), and a dedup shuffle carrying two 64-float vectors per
+    # duplicate candidate costs more than the interpreted fold it replaced
+    # (measured round 5 — the first gemm cut scored after a vector-heavy
+    # dropDuplicates and LOST to the fold at 20k corpus x 1000 queries).
+    # Vectors attach once per UNIQUE pair; scoring is one pair_cosine
+    # einsum per Arrow batch.
     cand = (
-        c.join(F.broadcast(q), "bucket")
+        c.join(F.broadcast(q), ["t", "bucket"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select("query_id", "neighbor_id")
         .distinct()

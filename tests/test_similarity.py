@@ -229,3 +229,35 @@ def test_ivf_auto_lists_holds_recall_at_10x(spark):
     )
     recall = hits / n_pairs
     assert recall >= 0.8, f"ivf auto_lists planted top-1 recall = {recall:.3f}"
+
+
+def test_lsh_topk_multitable_recall_at_10x(spark):
+    """The top-k analogue of the near_dup auto knobs (round 6): fixed
+    8 planes probe 14% of bucket space, so per-query candidates grow
+    linearly with the corpus. auto_planes deepens P to hold the candidate
+    budget (~2048) and n_tables buys the recall back: at the 10x corpus,
+    4 tables auto-resolve to P=12 (~1.6k candidates/query) and read
+    planted top-1 recall 1.000 vs the fixed single-table form's 0.897 at
+    2.9k candidates (deterministic fixture; floor asserted at 0.9)."""
+    from covsar_spark.operators.similarity import lsh_topk, resolve_planes_topk
+
+    n_pairs = 300
+    pdf, _ = _planted_corpus(19900, n_pairs, pairs_first=True)
+    n = len(pdf)
+    assert resolve_planes_topk(n, 8, 4, 2048) == 12
+    sdf = spark.createDataFrame(pdf)
+    sdf.persist().count()
+    try:
+        got = lsh_topk(
+            sdf, n_queries=n_pairs, k=10, n_tables=4, auto_planes=True, n_vecs=n
+        ).toPandas()
+    finally:
+        sdf.unpersist()
+    top = got[got["rank"] == 1]
+    hits = sum(
+        1
+        for r in top.itertuples()
+        if int(r.neighbor_id) == int(r.query_id) + n_pairs
+    )
+    recall = hits / n_pairs
+    assert recall >= 0.9, f"multi-table lsh_topk top-1 recall at 10x = {recall:.3f}"
