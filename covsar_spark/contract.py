@@ -1759,7 +1759,15 @@ def ann_lsh_topk(spark, sf_dir):
     exact int64 arithmetic on floor-quantized embeddings (see
     operators/similarity.hyperplanes), so DuckDB replays bucket assignment
     bit-for-bit and the exact cosine ranking inside the probed buckets."""
-    r = sim_ops.lsh_topk(_read(spark, sf_dir, "embeddings"), n_queries=5, k=10)
+    # auto_planes resolves to the oracle's pinned 8 planes for every corpus
+    # whose expected candidate volume fits the 2048 budget (all driver
+    # scales; r6 guard, same pattern as the other ANN entries)
+    n = _parquet_rows(sf_dir, "embeddings")
+    _assert_pinned(sim_ops.resolve_planes_topk(n), 8, "ann_lsh_topk", "n_planes")
+    r = sim_ops.lsh_topk(
+        _read(spark, sf_dir, "embeddings"), n_queries=5, k=10,
+        auto_planes=True, n_vecs=n,
+    )
     return r.withColumn("rank", F.col("rank").cast("long"))
 
 
@@ -1770,7 +1778,12 @@ def ann_lsh_q100(spark, sf_dir):
     Arrow gemm (round-5 change, operators/similarity.py) stays exact when
     the candidate set is 20x larger, and bench.py's timing line for the
     gemm-vs-interpreted-fold win the round-4 verdict asked for."""
-    r = sim_ops.lsh_topk(_read(spark, sf_dir, "embeddings"), n_queries=100, k=10)
+    n = _parquet_rows(sf_dir, "embeddings")
+    _assert_pinned(sim_ops.resolve_planes_topk(n), 8, "ann_lsh_q100", "n_planes")
+    r = sim_ops.lsh_topk(
+        _read(spark, sf_dir, "embeddings"), n_queries=100, k=10,
+        auto_planes=True, n_vecs=n,
+    )
     return r.withColumn("rank", F.col("rank").cast("long"))
 
 
