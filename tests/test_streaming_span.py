@@ -48,11 +48,13 @@ def _rollup_rows(tier_s: int = TIER_S, span: int = SPAN, base: int = BASE):
     return rows
 
 
-@pytest.mark.parametrize("tier", ["1m", "1h"])
+@pytest.mark.parametrize("tier", ["1m", "1h", "1d"])
 def test_span_stream_matches_batch_kernel(spark, tmp_path, tier):
-    """Parity parametrized over retention tiers (round-5 verdict #7 added
-    the 1h case): 1m spans are 1h wide (60 epochs), 1h spans are 1d wide
-    (24 epochs) — different grid widths, same bit-exact contract."""
+    """Parity parametrized over ALL retention tiers (round-5 verdict #7
+    added 1h; 1d completes the set): 1m spans are 1h wide (60 epochs), 1h
+    spans 1d wide (24 epochs), 1d spans 7d wide (7 epochs — fewer epochs
+    than the P=8 lag dimension, exercising the kernel's short-series
+    path) — different grid widths, same bit-exact contract."""
     tier_s, span = TIERS[tier], EIGEN_SPAN[tier]
     base = 1_700_000_000 - (1_700_000_000 % span)
     rows = _rollup_rows(tier_s, span, base)
@@ -258,3 +260,22 @@ def test_span_stream_restart_resumes_exactly_once(spark, tmp_path):
     assert got["n_epochs"].tolist() == exp["n_epochs"].tolist()
     assert [bytes(b) for b in got["ts_blob"]] == [bytes(b) for b in exp["ts_blob"]]
     assert [bytes(b) for b in got["val_blob"]] == [bytes(b) for b in exp["val_blob"]]
+
+
+def test_rollup_stream_output_feeds_span_stream_schema(spark, tmp_path):
+    """The deployment chain is: streaming_rollup -> file sink (tier table)
+    -> span_stream file source with ROLLUP_SCHEMA. Per-stage parity is
+    pinned above and in test_streaming.py; the remaining chain risk is the
+    SCHEMA handoff, so pin it: the streamed rollup's output columns must
+    match ROLLUP_SCHEMA name-for-name and type-for-type (a drift here
+    would make the span stage read nulls or fail at runtime)."""
+    from covsar_spark.schemas import TOKENS_SCHEMA
+    from covsar_spark.streaming.rollup_stream import streaming_rollup
+
+    src = tmp_path / "tokens_empty"
+    src.mkdir()
+    stream = spark.readStream.schema(TOKENS_SCHEMA).parquet(str(src))
+    out = streaming_rollup(stream, "1m")
+    got = [(f.name, f.dataType.simpleString()) for f in out.schema.fields]
+    want = [(f.name, f.dataType.simpleString()) for f in ROLLUP_SCHEMA.fields]
+    assert got == want
