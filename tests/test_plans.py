@@ -276,3 +276,19 @@ def test_ann_pinned_oracle_guard_trips_loudly():
     assert resolve_n_lists(4096) == 32
     with pytest.raises(ValueError, match="oracle-pinned"):
         _assert_pinned(resolve_n_lists(4096), 16, "ann_ivf_topk", "n_lists")
+
+
+def test_lsh_topk_multitable_plan_shape(spark):
+    """Multi-table lsh_topk (round 6) must stay all-equi-join: the (t,
+    bucket) probe join broadcasts the exploded query side, candidate dedup
+    is a hash aggregate on bare id pairs, and nothing degenerates into a
+    nested-loop or cartesian join."""
+    from covsar_spark.contract import _read
+    from covsar_spark.operators.similarity import lsh_topk
+
+    emb = _read(spark, "/root/testdata/sf0.001", "embeddings")
+    plan = _plan(lsh_topk(emb, n_queries=5, k=10, n_tables=4, auto_planes=True, n_vecs=500))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "HashAggregate" in plan  # bare id-pair dedup, partial+final
