@@ -133,7 +133,19 @@ def _auto_overrides():
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         return sim.ivf_topk(emb, n_queries=5, k=10, auto_lists=True)
 
-    return {"near_dup_lsh": near_dup_lsh_auto, "ann_ivf_topk": ann_ivf_auto}
+    def lsh_topk_auto(n_queries):
+        def run(spark, sf_dir):
+            emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+            return sim.lsh_topk(emb, n_queries=n_queries, k=10, auto_planes=True)
+
+        return run
+
+    return {
+        "near_dup_lsh": near_dup_lsh_auto,
+        "ann_ivf_topk": ann_ivf_auto,
+        "ann_lsh_topk": lsh_topk_auto(5),
+        "ann_lsh_q100": lsh_topk_auto(100),
+    }
 
 
 def time_suite(spark, queries, names, sf_dir: str, repeats: int = 3) -> dict[str, float]:
