@@ -2361,33 +2361,22 @@ def lc_window_stats(spark, sf_dir):
 # silently drops out of the sum.
 # ---------------------------------------------------------------------------
 
-_SUITE_ROWEXPR = {
-    "running_sum": "coalesce(cast(round(running * 10000, 0) as bigint), 0)"
-                   " + user_id + event_id",
-    "lag_diff": "coalesce(cast(round(diff * 10000, 0) as bigint), 0)"
-                " + user_id + event_id",
-    "rollup_1d_cascade": "token_count + epoch_s"
-                         " + coalesce(cast(round(sum_value * 10000, 0) as bigint), 0)"
-                         " + length(source)",
-    "gapfill_ffill_1m": "epoch_s + coalesce(cast(round(rate * 1000000, 0) as bigint), 0)"
-                        " + (case when filled then 1 else 0 end) + length(source)",
-    "json_extract": "coalesce(k_mod, -1) + n"
-                    " + coalesce(cast(round(sum_value * 10000, 0) as bigint), 0)",
-    "jaccard_pairs": "doc_a + doc_b + n_common"
-                     " + cast(round(jaccard * 1000000, 0) as bigint)",
-    "embedding_norms": "vec_id + label + cast(round(norm * 10000, 0) as bigint)",
-    "quality_score": "doc_id + n_words + quality"
-                     " + coalesce(cast(round(stopword_ratio * 1000000, 0) as bigint), 0)"
-                     " + coalesce(cast(round(uniq_ratio * 1000000, 0) as bigint), 0)"
-                     " + coalesce(cast(round(mean_word_len * 1000000, 0) as bigint), 0)",
-}
+# Round-7 rotation (r6 verdict #1): the 8 `_SUITE_ROWEXPR` entries — whose
+# last DIRECT driver rows dated from r1–r2, the oldest evidence in the repo —
+# are promoted back inside the cap for fresh hash rows, along with
+# intensity_db / semi_anti_join / value_histogram. With every member of the
+# original `_SUITE_ROWEXPR` now holding a direct in-cap row, its carrier
+# `demoted_suite` is retired (exactly the rule the ordering test encodes: a
+# promoted entry leaves its rowexpr dict — a direct row supersedes the
+# checksum). The 11 r6 graduates rotate out with green r6 rows banked and
+# keep in-cap evidence via the new `demoted_suite_3` below.
 
-# Round-6 rotation's checksum carrier: the entries freshly banked green in
-# r5 rotate out to make cap room for the r3/r4 graduates, and each keeps an
-# in-cap (n_rows, integer checksum) row here between rotations. Same
-# composition rules as _SUITE_ROWEXPR; `fingerprint`'s 60-bit XOR hash is
-# reduced mod 1e9+7 before summing (500 x 2^60 would overflow int64 —
-# `%` on non-negative bigints is identical in Spark SQL and DuckDB).
+# Round-6 rotation's checksum carrier, round-7 membership: the entries that
+# banked green driver rows in r5 and remain past the cap this round. Same
+# composition rules as the retired _SUITE_ROWEXPR (see _suite_oracle);
+# `fingerprint`'s 60-bit XOR hash is reduced mod 1e9+7 before summing
+# (500 x 2^60 would overflow int64 — `%` on non-negative bigints is
+# identical in Spark SQL and DuckDB).
 _SUITE_ROWEXPR_2 = {
     "ann_cosine_topk": "query_id + rank + neighbor_id",
     "ann_lsh_q100": "query_id + rank + neighbor_id",
@@ -2401,11 +2390,47 @@ _SUITE_ROWEXPR_2 = {
     "fingerprint": "doc_id + coalesce(fp, 0) % 1000000007",
     "topk_per_group": "length(event_type) + rank + event_id",
     "word_stats": "doc_id + n_words + n_chars + n_uniq_words + n_punct",
-    "value_histogram": "length(event_type) + bin + n"
-                       " + coalesce(cast(round(sum_value * 10000, 0) as bigint), 0)",
-    "intensity_db": "length(source) + epoch_s"
-                    " + coalesce(cast(round(db * 1000000, 0) as bigint), 0)",
-    "semi_anti_join": "length(side) + n",
+}
+
+
+def _sha_chk(col: str) -> str:
+    """Dialect-shared integer digest of a 64-char hex string column:
+    position-weighted ascii probes at 8 offsets spread across the digest
+    (ascii <= 'f'=102, weights 10^0..10^14 → < 1.1e16 per row, far below
+    int64 even summed over every row). `ascii`/`substr` parse identically
+    in Spark SQL and DuckDB; `conv`/`::BIGINT` hex casts do not."""
+    return "(" + " + ".join(
+        f"cast(ascii(substr({col}, {1 + 9 * i}, 1)) as bigint) * {10 ** (2 * i)}"
+        for i in range(8)
+    ) + ")"
+
+
+# Round-7 rotation's checksum carrier: the 11 r6 graduates (fresh green
+# driver rows in CORRECTNESS_r06) rotate out to make cap room for the 8
+# oldest-evidence promotions; each keeps an in-cap (n_rows, chk) row here.
+# `kind` uses an ascii probe (image/audio/video all have length 5);
+# payload_sha digests use _sha_chk; numeric media ids cast exactly.
+_SUITE_ROWEXPR_3 = {
+    "ann_lsh_topk": "query_id + rank + neighbor_id",
+    "ann_ivf_topk": "query_id + rank + neighbor_id",
+    "near_dup_lsh": "id_a + id_b + (case when same_label then 1 else 0 end)",
+    "nearest_point": "query_id + nn_id + dist2",
+    "multimodal_features": "cast(media_id as bigint) + ascii(substr(kind, 1, 1))"
+                           " + n_bytes + coalesce(byte_sum, 0)"
+                           " + coalesce(n_samples, 0) + " + _sha_chk("payload_sha"),
+    "multimodal_frames": "cast(media_id as bigint) + frame_idx"
+                         " + coalesce(cast(round(mean_luma * 1000000, 0) as bigint), 0)",
+    "multimodal_resize": "cast(media_id as bigint) + width + height + n_bytes + "
+                         + _sha_chk("payload_sha"),
+    "multimodal_audio_stats": "cast(media_id as bigint) + n_samples"
+                              " + coalesce(cast(round(rms * 1000000, 0) as bigint), 0)"
+                              " + coalesce(cast(round(zcr * 1000000, 0) as bigint), 0)",
+    "gapfill_cross_1m": "epoch_s + coalesce(cast(round(rate * 1000000, 0) as bigint), 0)"
+                        " + (case when filled then 1 else 0 end) + length(source)",
+    "boilerplate_ngrams": "ascii(substr(shingle, 1, 1)) + length(shingle) + n_docs",
+    "phase_unwrap": "length(source) + epoch_s"
+                    " + coalesce(cast(round(wrapped * 1000000, 0) as bigint), 0)"
+                    " + coalesce(cast(round(unwrapped * 1000000, 0) as bigint), 0)",
 }
 
 
@@ -2438,17 +2463,20 @@ def _suite_df(spark, sf_dir, rowexprs: dict[str, str]) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b), parts)
 
 
-@register("demoted_suite", _suite_oracle(_SUITE_ROWEXPR))
-def demoted_suite(spark, sf_dir):
-    """Suite checksum over 8 demoted oracle entries (see _SUITE_ROWEXPR)."""
-    return _suite_df(spark, sf_dir, _SUITE_ROWEXPR)
-
-
 @register("demoted_suite_2", _suite_oracle(_SUITE_ROWEXPR_2))
 def demoted_suite_2(spark, sf_dir):
-    """Suite checksum over the 12 entries rotated out in round 6 (see
-    _SUITE_ROWEXPR_2) — each banked a direct green driver row in r5."""
+    """Suite checksum over the 9 still-demoted entries rotated out in round
+    6 (see _SUITE_ROWEXPR_2) — each banked a direct green driver row in r5.
+    (`demoted_suite`, the original 8-entry carrier, was retired in round 7:
+    every member was promoted back inside the cap for direct rows.)"""
     return _suite_df(spark, sf_dir, _SUITE_ROWEXPR_2)
+
+
+@register("demoted_suite_3", _suite_oracle(_SUITE_ROWEXPR_3))
+def demoted_suite_3(spark, sf_dir):
+    """Suite checksum over the 11 entries rotated out in round 7 (see
+    _SUITE_ROWEXPR_3) — each banked a direct green driver row in r6."""
+    return _suite_df(spark, sf_dir, _SUITE_ROWEXPR_3)
 
 
 # ---------------------------------------------------------------------------
@@ -2469,12 +2497,59 @@ def demoted_suite_2(spark, sf_dir):
 # New oracle-bearing registrations land in tier 2 automatically.
 # ---------------------------------------------------------------------------
 
-# Round-6 rotation (r5 verdict #3): the r3/r4 oracle graduates whose last
-# direct driver row is CORRECTNESS_r03/r04 rotate back inside the cap for
-# freshness; the entries they displace all banked green rows in r5 and keep
-# in-cap checksum evidence via `demoted_suite_2`.
+# Round-7 rotation (r6 verdict #1): the 8 long-demoted `_SUITE_ROWEXPR`
+# entries (last DIRECT driver rows r1–r2 — the oldest evidence in the repo)
+# rotate back inside the cap, plus intensity_db / semi_anti_join /
+# value_histogram (direct rows r1–r5). The 11 r6 graduates they displace
+# all banked green rows in CORRECTNESS_r06 and keep in-cap checksum
+# evidence via `demoted_suite_3`.
 DRIVER_PRIORITY = [
-    # last direct driver row r3/r4 — rotated back in for freshness
+    # last direct driver row r1-r2 — the promotion this rotation exists for
+    "running_sum",
+    "lag_diff",
+    "rollup_1d_cascade",
+    "gapfill_ffill_1m",
+    "json_extract",
+    "jaccard_pairs",
+    "embedding_norms",
+    "quality_score",
+    # direct rows r1-r5; demoted in r6 purely for cap room — rotated back
+    "intensity_db",
+    "semi_anti_join",
+    "value_histogram",
+    # checksum carriers: fresh per-entry evidence for 20 demoted siblings
+    "demoted_suite_2",   # the 9 entries rotated out in round 6 (green r5)
+    "demoted_suite_3",   # the 11 entries rotated out this round (green r6)
+]
+
+# Oracle-bearing entries past the cap this round. Every entry here is a
+# weaker variant of an in-cap sibling (the SURVEY §2 row stays covered
+# in-cap) OR banked a fresh green driver row last round:
+#   - r6-rotation residue (green r5 rows banked): ann_cosine_topk (baseline
+#     of ann_lsh/ivf_topk), ann_lsh_q100 (parameterized twin of
+#     ann_lsh_topk), unigram_logprob / token_packing / vocab_topk (token
+#     ops, §2.8 array path in-cap via collect_epochs), lang_id /
+#     fingerprint / word_stats (text ops, quality_score promoted in-cap),
+#     topk_per_group (A9, by kappa_grid).
+#   - r7 rotation (green r6 rows banked): the 11 r6 graduates.
+# Every entry here is re-verified against its oracle EVERY pytest run
+# (tests/test_contract_ordering.py::test_demoted_entries_still_pass_their_oracles),
+# so demotion never means regressions are invisible — and every entry
+# additionally keeps an in-cap external checksum row via `demoted_suite_2`
+# / `demoted_suite_3` (memberships asserted equal to this list by
+# test_suite_checksum_covers_only_demoted_entries).
+DRIVER_DEMOTED = [
+    # rotated out round 6 with green r5 rows banked
+    "ann_cosine_topk",
+    "unigram_logprob",
+    "token_packing",
+    "vocab_topk",
+    "lang_id",
+    "fingerprint",
+    "topk_per_group",
+    "word_stats",
+    "ann_lsh_q100",
+    # rotated out round 7 with green r6 rows banked
     "ann_lsh_topk",
     "ann_ivf_topk",
     "near_dup_lsh",
@@ -2486,54 +2561,6 @@ DRIVER_PRIORITY = [
     "gapfill_cross_1m",
     "boilerplate_ngrams",
     "phase_unwrap",
-    # checksum carriers: fresh per-entry evidence for 20 demoted siblings
-    "demoted_suite",     # the 8 long-demoted duplicates (r1-r2 direct rows)
-    "demoted_suite_2",   # the 12 entries rotated out this round (green r5)
-]
-
-# Oracle-bearing entries that are weaker variants of an in-cap sibling:
-# running_sum (W1, subsumed by running_product), lag_diff (W2, by
-# interferogram), rollup_1d_cascade (A7, by rollup_1h_cascade +
-# tier_cascade_1h), gapfill_ffill_1m (J7, by gapfill_linear_1m; zero-policy
-# P6 stays via gapfill_zero_1m), json_extract (scalar surface, by
-# interferogram's math/complex path), jaccard_pairs (bounded baseline of
-# jaccard_verified), embedding_norms (array fold, by ann_cosine_topk),
-# quality_score (text-quality fractions, by word_stats + lang_id +
-# repetition_stats), json_extract (scalar surface, by interferogram's
-# math/complex path).
-# Every entry here is re-verified against its oracle EVERY pytest run
-# (tests/test_contract_ordering.py::test_demoted_entries_still_pass_their_oracles),
-# so demotion no longer means regressions are invisible — and every
-# _SUITE_ROWEXPR / _SUITE_ROWEXPR_2 entry additionally keeps an in-cap
-# external checksum row via `demoted_suite` / `demoted_suite_2`.
-# Round-6 rotation: every entry rotated out below banked a fresh green
-# driver row in CORRECTNESS_r05 (the 9 r5-rotated entries + ann_lsh_q100)
-# or holds green rows r1-r5 (intensity_db, semi_anti_join — demoted to make
-# exact cap room for the 11 promoted r3/r4 graduates; their SURVEY rows stay
-# covered in-cap by interferogram (A4 dB path) and lsh_candidates (§2.7 set
-# ops) plus their suite-2 checksum rows).
-DRIVER_DEMOTED = [
-    "running_sum",
-    "lag_diff",
-    "rollup_1d_cascade",
-    "gapfill_ffill_1m",
-    "json_extract",
-    "jaccard_pairs",
-    "embedding_norms",
-    "quality_score",
-    # rotated out round 6 with green r5 rows banked
-    "ann_cosine_topk",
-    "unigram_logprob",
-    "token_packing",
-    "vocab_topk",
-    "lang_id",
-    "fingerprint",
-    "topk_per_group",
-    "word_stats",
-    "value_histogram",
-    "ann_lsh_q100",
-    "intensity_db",
-    "semi_anti_join",
 ]
 
 

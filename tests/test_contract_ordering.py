@@ -64,10 +64,15 @@ def test_suite_checksum_covers_only_demoted_entries():
     still be a registered oracle entry."""
     from covsar_spark import contract
 
-    for rowexprs in (contract._SUITE_ROWEXPR, contract._SUITE_ROWEXPR_2):
+    covered = set()
+    for rowexprs in (contract._SUITE_ROWEXPR_2, contract._SUITE_ROWEXPR_3):
         for name in rowexprs:
             assert name in contract.DRIVER_DEMOTED, f"{name} covered but not demoted"
             assert name in contract.ORACLE, f"{name} covered but has no oracle"
+        covered |= set(rowexprs)
+    # every demoted entry keeps an in-cap checksum row (round-7 invariant)
+    uncovered = set(contract.DRIVER_DEMOTED) - covered
+    assert not uncovered, f"demoted without a suite checksum row: {uncovered}"
 
 
 def test_demoted_entries_still_pass_their_oracles(spark):
