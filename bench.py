@@ -2,21 +2,34 @@
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]. Prints ONE COMPACT JSON
 line as the LAST line of stdout:
 {"metric": ..., "value": N, "unit": "sec", "queries": {flagship walls},
- "calib_pre": ops/s, "calib_post": ops/s, "sf": ...}
+ "calib_pre": ops/s, "calib_post": ops/s, "noise_cores_max": N, "sf": ...}
 
-The full 60+-entry per-query seconds map goes to BENCH_QUERIES.json next to
-this file — round-5 lesson: the driver's fixed-size stdout tail clipped the
-headline line mid-token once the map grew past it (BENCH_r05.json
-`parsed: null`), so the stdout line carries only scalars + the two flagship
-walls and stays a few hundred bytes.
+The full 60+-entry per-query seconds map goes to BENCH_QUERIES_r{NN}.json
+next to this file (round from $SPARK_GRAFT_ROUND, else 1 + the highest
+committed BENCH_r{NN}.json — round-6 lesson: a single mutable
+BENCH_QUERIES.json lost per-round provenance the first time the driver
+overwrote it). Round-5 lesson: the driver's fixed-size stdout tail clipped
+the headline line mid-token once the map grew past it, so the stdout line
+carries only scalars + the two flagship walls and stays a few hundred bytes.
 
-Noise adjudication (round-5 lesson #2): this shared box's co-tenant load has
-inflated whole suites by 1.76x median. Each run now brackets itself with a
-single-thread host-speed probe (same burn as scripts/scaling.py — quiet box
-reads 500-800 ops/s, documented collapses 0.3-28), waits up to
-$SPARK_GRAFT_PROBE_MAX_WAIT_S (default 600s) for the probe to clear
-$SPARK_GRAFT_PROBE_MIN (default 400 ops/s) before timing, and reports
-calib_pre/calib_post in the headline line so a noisy run is self-documenting.
+Noise adjudication, two mechanisms:
+- BRACKET probes (round-5 lesson): a single-thread host-speed burn (same as
+  scripts/scaling.py — quiet box reads 500-800 ops/s, documented collapses
+  0.3-28) gates the start (waits up to $SPARK_GRAFT_PROBE_MAX_WAIT_S,
+  default 600s, for >= $SPARK_GRAFT_PROBE_MIN, default 400 ops/s) and
+  re-reads after the suite; calib_pre/calib_post land in the headline.
+- IN-RUN sampling (round-6 lesson: brackets read clean 703/681 while a
+  mid-run spike inflated one flagship 1.76x): a daemon thread samples
+  /proc/stat vs our own process subtree every ~3s through the whole timed
+  region. A numpy burn can't run mid-suite (our own local[N] load collapses
+  it — measured 701 -> 115 ops/s with just an idle JVM), but kernel CPU
+  accounting splits cleanly: co-tenant load = total busy jiffies minus our
+  subtree's jiffies, reported in CORES. Every query records the max
+  co-tenant cores over its window; any query whose window exceeded
+  $SPARK_GRAFT_NOISE_CORES (default 6.0 of this box's 32 logical CPUs) is
+  re-run once and the cleaner-window wall kept. The headline carries
+  noise_cores_p50 / noise_cores_max / noise_samples / n_reran so no reading
+  needs out-of-band adjudication.
 
 The headline metric is the flagship tokens pipeline's rolled-up points/sec
 across all retention tiers (BASELINE.json:metric); per-query seconds cover
@@ -25,10 +38,13 @@ the operator families. Run scripts/scaling.py for the N-vs-4N evidence.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
+import re
 import subprocess
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -39,7 +55,28 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 PROBE_MIN = float(os.environ.get("SPARK_GRAFT_PROBE_MIN", "400"))
 PROBE_MAX_WAIT_S = int(os.environ.get("SPARK_GRAFT_PROBE_MAX_WAIT_S", "600"))
-QUERIES_OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_QUERIES.json")
+NOISE_CORES = float(os.environ.get("SPARK_GRAFT_NOISE_CORES", "6.0"))
+NOISE_PERIOD_S = float(os.environ.get("SPARK_GRAFT_NOISE_PERIOD_S", "3.0"))
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def _round_tag() -> str:
+    """Per-round artifact tag: $SPARK_GRAFT_ROUND, else 1 + the highest
+    committed BENCH_r{NN}.json (the driver's own naming), so builder runs in
+    round N and the driver's end-of-round run land in the same rNN file."""
+    r = os.environ.get("SPARK_GRAFT_ROUND")
+    if not r:
+        seen = [
+            int(m.group(1))
+            for p in glob.glob(os.path.join(_REPO, "BENCH_r*.json"))
+            if (m := re.match(r"BENCH_r(\d+)\.json$", os.path.basename(p)))
+        ]
+        r = str(max(seen, default=0) + 1)
+    return f"r{int(r):02d}"
+
+
+ROUND_TAG = _round_tag()
+QUERIES_OUT = os.path.join(_REPO, f"BENCH_QUERIES_{ROUND_TAG}.json")
 
 # single-thread host-speed burn, identical to scripts/scaling.py's CALIBRATE:
 # co-tenant interference shows up as a LOWER ops/s number
@@ -77,10 +114,104 @@ def host_probe(best_of: int = 1, gap_s: float = 0.0) -> float:
             [sys.executable, "-c", _PROBE_SRC], capture_output=True, text=True, env=env
         )
         try:
-            vals.append(json.loads(out.stdout.strip().splitlines()[-1])["ops_s"])
+            vals.append(float(json.loads(out.stdout.strip().splitlines()[-1])["ops_s"]))
         except Exception:
-            vals.append(float("nan"))
-    return max(vals)
+            pass  # failed probe: drop it — a NaN would defeat the PROBE_MIN
+            # gate (NaN < x is False) and json.dumps would emit a bare NaN
+            # token, breaking strict-JSON consumers of the headline line
+    return max(vals) if vals else 0.0
+
+
+# ---------------------------------------------------------------------------
+# In-run co-tenant noise sampler (round-6 verdict #2). /proc/stat's busy
+# jiffies minus our own process subtree's jiffies = co-tenant CPU, in cores —
+# valid WHILE our Spark job saturates the box, unlike a numpy burn.
+# ---------------------------------------------------------------------------
+_CLK_TCK = os.sysconf("SC_CLK_TCK")
+
+
+def _proc_busy_jiffies() -> int:
+    with open("/proc/stat") as f:
+        v = list(map(int, f.readline().split()[1:]))
+    return sum(v) - v[3] - v[4]  # all - idle - iowait
+
+
+def _subtree_jiffies(root: int) -> int:
+    """Sum utime+stime over root's live descendant tree (one /proc scan).
+    Dead children's jiffies drop out of our side, slightly inflating
+    "other" — acceptable: probe subprocesses only run outside the timed
+    region and pyspark daemon workers are long-lived."""
+    ppid = {}
+    cpu = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as f:
+                line = f.read()
+        except OSError:
+            continue
+        try:
+            # comm may contain spaces/parens: fields resume after the last ')'
+            rest = line.rsplit(")", 1)[-1].split()
+            pid = int(d)
+            ppid[pid] = int(rest[1])  # field 4
+            cpu[pid] = int(rest[11]) + int(rest[12])  # utime, stime (14, 15)
+        except (IndexError, ValueError):
+            continue  # process died mid-read / malformed line
+    kids: dict[int, list[int]] = {}
+    for p, pp in ppid.items():
+        kids.setdefault(pp, []).append(p)
+    total, stack = 0, [root]
+    while stack:
+        p = stack.pop()
+        total += cpu.get(p, 0)
+        stack.extend(kids.get(p, ()))
+    return total
+
+
+class NoiseSampler(threading.Thread):
+    """Samples (wall time, total busy jiffies, our-subtree jiffies) every
+    `period_s`; window_stats() converts consecutive deltas to co-tenant
+    CORES over any [t0, t1] wall window."""
+
+    def __init__(self, period_s: float = NOISE_PERIOD_S):
+        super().__init__(daemon=True)
+        self.period_s = period_s
+        self.samples: list[tuple[float, int, int]] = []
+        self._halt = threading.Event()
+        self._pid = os.getpid()
+
+    def _snap(self):
+        try:
+            self.samples.append(
+                (time.time(), _proc_busy_jiffies(), _subtree_jiffies(self._pid))
+            )
+        except Exception:
+            pass  # a lost sample must never kill the sampler thread
+
+    def run(self):
+        self._snap()
+        while not self._halt.wait(self.period_s):
+            self._snap()
+
+    def stop(self):
+        self._halt.set()
+
+    def intervals(self, t0: float, t1: float) -> list[float]:
+        """Co-tenant cores for each sampling interval overlapping [t0, t1]."""
+        out = []
+        s = self.samples
+        for (ta, busy_a, ours_a), (tb, busy_b, ours_b) in zip(s, s[1:]):
+            if tb <= t0 or ta >= t1 or tb <= ta:
+                continue
+            other = max(0, (busy_b - busy_a) - (ours_b - ours_a))
+            out.append(other / _CLK_TCK / (tb - ta))
+        return out
+
+    def window_max(self, t0: float, t1: float) -> float:
+        iv = self.intervals(t0, t1)
+        return round(max(iv), 2) if iv else 0.0
 TOKENS_ROWS = int(os.environ.get("SPARK_GRAFT_TOKENS_ROWS", "2000000"))
 # flagship fixture shape: rolled-up points = sources x horizon grid cells,
 # so the headline pps needs a wide horizon, not just more rows (100k rows /
@@ -187,7 +318,7 @@ def run_flagship(spark, n_rows: int, with_closure: bool = False) -> tuple[float,
 
     tokens = tokens_table(spark, n_rows)
     tokens.count()  # warm the scan; the timed region measures the pipeline
-    t0 = time.time()
+    t0 = time.time()  # returned with t1 so the caller can window-noise the run
     tiers = run_tiers(
         tokens, with_eigen=True, with_chunks=True, persist=True,
         with_closure=with_closure,
@@ -209,12 +340,13 @@ def run_flagship(spark, n_rows: int, with_closure: bool = False) -> tuple[float,
     total_points = int(
         fused_all.select(F.sum("n_points").alias("p")).collect()[0]["p"]
     )
-    wall = time.time() - t0
+    t1 = time.time()
+    wall = t1 - t0
     for d in tiers.values():
         for key in ("rollup", "filled", "fused"):
             if key in d:
                 d[key].unpersist()
-    return wall, total_points
+    return wall, total_points, (t0, t1)
 
 
 def main():
@@ -239,31 +371,68 @@ def main():
     # warm the JVM/Arrow paths once so per-query numbers measure the plan
     spark.read.parquet(f"{SF_DIR}/events.parquet").count()
 
-    q_times: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = QUERIES[name]
+    # in-run co-tenant sampler covers the WHOLE timed region (see module
+    # docstring) — the numpy bracket probes can't see mid-run spikes
+    sampler = NoiseSampler()
+    sampler.start()
+    run_start = time.time()
+
+    def timed(fn) -> tuple[float, float, tuple[float, float]]:
         t0 = time.time()
         df = fn(spark, SF_DIR)
         # noop sink: materializes EVERY output column — a bare count() lets
         # Catalyst prune the projections being measured
         df.write.format("noop").mode("overwrite").save()
-        q_times[name] = round(time.time() - t0, 3)
+        t1 = time.time()
+        return round(t1 - t0, 3), sampler.window_max(t0, t1), (t0, t1)
 
-    wall, points = min(
-        (run_flagship(spark, TOKENS_ROWS) for _ in range(FLAGSHIP_REPEATS)),
-        key=lambda r: r[0],
-    )
+    q_times: dict[str, float] = {}
+    q_noise: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        q_times[name], q_noise[name], _ = timed(QUERIES[name])
+
+    # one re-run for any query whose window saw a co-tenant spike; keep the
+    # cleaner-window wall (ties to the round-6 adjudication hole: a reading
+    # taken under a spike is not a measurement of the engine)
+    reran = [n for n in BENCH_QUERIES if q_noise[n] > NOISE_CORES]
+    for name in reran:
+        w2, n2, _ = timed(QUERIES[name])
+        if n2 < q_noise[name]:
+            q_times[name], q_noise[name] = w2, n2
+
+    def flagship_best(with_closure: bool) -> tuple[float, int, float]:
+        """Best-of-N flagship, plus one extra repeat if the kept (min-wall)
+        run's window was itself noisy. Returns (wall, points, noise_cores)."""
+        runs = [run_flagship(spark, TOKENS_ROWS, with_closure=with_closure)
+                for _ in range(FLAGSHIP_REPEATS)]
+        wall, points, win = min(runs, key=lambda r: r[0])
+        noise = sampler.window_max(*win)
+        if noise > NOISE_CORES:
+            wall2, points2, win2 = run_flagship(
+                spark, TOKENS_ROWS, with_closure=with_closure
+            )
+            if wall2 < wall:
+                wall, points, noise = wall2, points2, sampler.window_max(*win2)
+        return wall, points, noise
+
+    wall, points, noise_f = flagship_best(with_closure=False)
     pps = points / wall if wall > 0 else 0.0
     q_times["flagship_pipeline"] = round(wall, 3)
+    q_noise["flagship_pipeline"] = noise_f
 
     # second headline: the same pipeline WITH the closure-correction stage
     # (the defining CovSAR step) materialized in the timed region
-    wall_c, points_c = min(
-        (run_flagship(spark, TOKENS_ROWS, with_closure=True) for _ in range(FLAGSHIP_REPEATS)),
-        key=lambda r: r[0],
-    )
+    wall_c, points_c, noise_fc = flagship_best(with_closure=True)
     pps_c = points_c / wall_c if wall_c > 0 else 0.0
     q_times["flagship_pipeline_closure"] = round(wall_c, 3)
+    q_noise["flagship_pipeline_closure"] = noise_fc
+
+    run_end = time.time()
+    sampler.stop()
+    all_iv = sampler.intervals(run_start, run_end)
+    all_iv_sorted = sorted(all_iv)
+    noise_p50 = round(all_iv_sorted[len(all_iv_sorted) // 2], 2) if all_iv else 0.0
+    noise_max = round(max(all_iv), 2) if all_iv else 0.0
 
     # stop the session BEFORE the post-probe: an idle local[N] JVM still
     # competes with the single-thread burn (measured 701 -> 115 ops/s with
@@ -271,12 +440,15 @@ def main():
     spark.stop()
     calib_post = host_probe(best_of=3, gap_s=3.0)
     total = round(sum(q_times.values()), 3)
+    run_id = f"{ROUND_TAG}.{os.getpid()}"
 
-    # full per-query map -> file artifact (the driver records the repo, so
-    # BENCH_QUERIES.json travels with the round); stdout stays compact
+    # full per-query map -> per-round file artifact (the driver records the
+    # repo, so BENCH_QUERIES_rNN.json travels with the round and never
+    # overwrites a previous round's provenance); stdout stays compact
     with open(QUERIES_OUT, "w") as f:
         json.dump(
             {
+                "run_id": run_id,
                 "total_sec": total,
                 "n_queries": len(q_times),
                 "sf": sf,
@@ -285,7 +457,13 @@ def main():
                 "calib_pre_ops_s": calib_pre,
                 "calib_post_ops_s": calib_post,
                 "probe_waited_s": waited_s,
+                "noise_cores_p50": noise_p50,
+                "noise_cores_max": noise_max,
+                "noise_samples": len(all_iv),
+                "noise_threshold_cores": NOISE_CORES,
+                "reran_for_noise": reran,
                 "queries": q_times,
+                "query_noise_cores": q_noise,
             },
             f,
             indent=1,
@@ -310,10 +488,17 @@ def main():
                     "flagship_pipeline_closure": q_times["flagship_pipeline_closure"],
                 },
                 "n_queries": len(q_times),
-                "queries_file": "BENCH_QUERIES.json",
+                "queries_file": os.path.basename(QUERIES_OUT),
+                "run_id": run_id,
                 "calib_pre": calib_pre,
                 "calib_post": calib_post,
                 "probe_waited_s": waited_s,
+                "noise_cores_p50": noise_p50,
+                "noise_cores_max": noise_max,
+                "noise_samples": len(all_iv),
+                "n_reran": len(reran),
+                "flagship_noise_cores": noise_f,
+                "flagship_closure_noise_cores": noise_fc,
                 "sf": sf,
                 "cpus": CPUS,
             }

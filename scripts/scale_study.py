@@ -120,23 +120,37 @@ def _auto_overrides():
     design. The scale study's job is to time the SCALE path, i.e. the
     operators with their auto knobs resolving freely; the pinned contract
     wrappers stay the driver-correctness surface."""
+    from covsar_spark.contract import _parquet_rows
     from covsar_spark.operators import similarity as sim
+
+    # corpus size once per sf_dir from parquet FOOTER metadata (r6 ADVICE):
+    # without n_vecs each TIMED repeat pays an eager emb.count() Spark job
+    # inside the measured wall — a constant skew on exactly the entries
+    # whose scaling slope this study gates
+    _n_memo: dict[str, int] = {}
+
+    def _n(sf_dir: str) -> int:
+        if sf_dir not in _n_memo:
+            _n_memo[sf_dir] = _parquet_rows(sf_dir, "embeddings")
+        return _n_memo[sf_dir]
 
     def near_dup_lsh_auto(spark, sf_dir):
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         return sim.near_dup_lsh(
             emb, threshold=0.35, n_planes=6, n_tables=4,
-            auto_planes=True, auto_tables=True,
+            auto_planes=True, auto_tables=True, n_vecs=_n(sf_dir),
         )
 
     def ann_ivf_auto(spark, sf_dir):
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-        return sim.ivf_topk(emb, n_queries=5, k=10, auto_lists=True)
+        return sim.ivf_topk(emb, n_queries=5, k=10, auto_lists=True,
+                            n_vecs=_n(sf_dir))
 
     def lsh_topk_auto(n_queries):
         def run(spark, sf_dir):
             emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-            return sim.lsh_topk(emb, n_queries=n_queries, k=10, auto_planes=True)
+            return sim.lsh_topk(emb, n_queries=n_queries, k=10,
+                                auto_planes=True, n_vecs=_n(sf_dir))
 
         return run
 
