@@ -1826,12 +1826,15 @@ def ann_ivf_topk(spark, sf_dir):
     exact cosine ranking inside probed lists bit-for-bit."""
     # auto_lists resolves to the oracle's pinned 16 lists up to 2048 vectors
     # (all driver scales) and bounds per-query probed candidates beyond that;
-    # n_vecs from the parquet footer (no job) + a loud pinned-value guard
+    # auto_probe (r7) resolves to the pinned 4 probes at every sub-anchor
+    # list count; n_vecs from the parquet footer (no job) + loud guards
     n = _parquet_rows(sf_dir, "embeddings")
-    _assert_pinned(sim_ops.resolve_n_lists(n), 16, "ann_ivf_topk", "n_lists")
+    n_lists = sim_ops.resolve_n_lists(n)
+    _assert_pinned(n_lists, 16, "ann_ivf_topk", "n_lists")
+    _assert_pinned(sim_ops.resolve_n_probe(n_lists), 4, "ann_ivf_topk", "n_probe")
     r = sim_ops.ivf_topk(
         _read(spark, sf_dir, "embeddings"), n_queries=5, k=10, auto_lists=True,
-        n_vecs=n,
+        auto_probe=True, n_vecs=n,
     )
     return r.withColumn("rank", F.col("rank").cast("long"))
 

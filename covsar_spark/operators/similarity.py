@@ -335,6 +335,42 @@ def resolve_n_tables(
     return max(n_tables, b)
 
 
+def resolve_n_probe(
+    n_lists: int,
+    n_probe: int = 4,
+    target_recall: float = 0.8,
+) -> int:
+    """Probe-count auto knob — `auto_lists`' missing companion (round-6
+    verdict #3, the IVF mirror of `resolve_n_tables`): with n_lists growing
+    linearly in the corpus and n_probe FIXED, the probed fraction shrinks
+    without bound and recall must eventually sink below any target.
+
+    Derivation, anchored in measurement rather than a uniformity argument:
+    the r6 recall study (scripts/ivf_recall_study.py, BENCH_SCALE_STUDY.json
+    `ivf_recall_10x`) measured the planted sim-0.90 top-1 miss rate at the
+    10x corpus (161 lists) as 0.194/0.074/0.012/0.0 at n_probe 4/8/16/32 —
+    a clean exponential tail, least-squares fit
+    ``miss(P) ~ exp(-(0.730 + 0.2313 P))``. The probes needed at the anchor
+    list count are therefore ``P_req = (-ln(1-target) - 0.730) / 0.2313``
+    (target 0.8 -> 3.80 -> 4, reproducing the measured 0.806 at P=4).
+    Under list growth the neighbor's home-list RANK in the query's centroid
+    ordering grows sublinearly (the quantizer localizes; rank 1-2 dominates
+    at every measured scale) — modelled conservatively as sqrt(n_lists /
+    161), validated in the growth direction by a 30x measurement
+    (BENCH_SCALE_STUDY.json `ivf_auto_probe_30x`). Per-query candidate
+    volume then grows only ~sqrt(n): n_probe * target_list * sqrt-factor.
+
+    Resolves to the oracle-pinned n_probe=4 at every corpus whose
+    auto_lists resolution stays at the anchor or below (all driver scales:
+    16 lists << 161), asserted loudly by the contract entry."""
+    import math
+
+    _A, _B, _ANCHOR_LISTS = 0.730, 0.2313, 161
+    p_req = (-math.log(max(1e-12, 1.0 - target_recall)) - _A) / _B
+    scale = math.sqrt(n_lists / _ANCHOR_LISTS) if n_lists > _ANCHOR_LISTS else 1.0
+    return max(n_probe, math.ceil(p_req * scale))
+
+
 def ivf_centroids(dim: int, n_lists: int = 16, seed: int = 77) -> np.ndarray:
     """Deterministic INTEGER centroid directions from md5 arithmetic — the
     SQL-replayable analogue of the seeded-Gaussian quantizer (same derivation
@@ -375,6 +411,8 @@ def ivf_topk(
     auto_lists: bool = False,
     target_list: int = 128,
     n_vecs: int | None = None,
+    auto_probe: bool = False,
+    target_recall: float = 0.8,
 ) -> DataFrame:
     """IVF ANN — the second scale path beside LSH: corpus vectors live in
     their single nearest centroid's inverted list (hash-partitionable by
@@ -399,11 +437,16 @@ def ivf_topk(
     tests/test_similarity.py::test_ivf_auto_lists_holds_recall_at_10x):
     the md5-conical quantizer localizes near neighbors well enough that
     the DEFAULT probe count already clears 0.8 while probing only 2.5% of
-    the corpus. ``n_probe`` remains the recall-vs-candidates knob when a
-    higher floor is needed."""
+    the corpus. ``auto_probe=True`` closes the loop (round 7): n_probe is
+    derived from a declared ``target_recall`` via `resolve_n_probe` (the
+    measured miss-rate fit at the 161-list anchor, sqrt rank-growth under
+    further list growth), so recall is held by construction as auto_lists
+    scales — the last manual recall knob is gone."""
     if auto_lists:
         n = n_vecs if n_vecs is not None else emb.count()
         n_lists = resolve_n_lists(n, n_lists, target_list)
+    if auto_probe:
+        n_probe = resolve_n_probe(n_lists, n_probe, target_recall)
     corpus = emb.withColumn(
         "list_id", ivf_assign_udf(n_lists, seed, top=1)(F.col("embedding"))[0]
     )

@@ -25,7 +25,11 @@ sys.path.insert(0, REPO)
 import numpy as np  # noqa: E402
 import pandas as pd  # noqa: E402
 
-from covsar_spark.operators.similarity import ivf_topk, resolve_n_lists  # noqa: E402
+from covsar_spark.operators.similarity import (  # noqa: E402
+    ivf_topk,
+    resolve_n_lists,
+    resolve_n_probe,
+)
 from covsar_spark.session import get_spark  # noqa: E402
 
 
@@ -51,18 +55,25 @@ def planted_corpus(n_bg: int, n_pairs: int, dim: int = 64, sim: float = 0.90, se
 
 
 def main():
-    n_bg = int(sys.argv[1]) if len(sys.argv) > 1 else 19500
-    n_pairs = int(sys.argv[2]) if len(sys.argv) > 2 else 500
+    # --auto: measure ONLY the auto_probe operating point (round-7
+    # validation of resolve_n_probe's sqrt growth law at a larger corpus,
+    # e.g. `ivf_recall_study.py 60500 500 --auto` = the 30x point)
+    auto_only = "--auto" in sys.argv
+    args = [a for a in sys.argv[1:] if a != "--auto"]
+    n_bg = int(args[0]) if args else 19500
+    n_pairs = int(args[1]) if len(args) > 1 else 500
     spark = get_spark("ivf_recall", cores=16, shuffle_partitions=16)
     pdf = planted_corpus(n_bg, n_pairs)
     n = len(pdf)
     sdf = spark.createDataFrame(pdf)
     sdf.persist().count()
     lists = resolve_n_lists(n)
+    probes = [resolve_n_probe(lists)] if auto_only else [4, 8, 16, 32]
     rows = []
-    for n_probe in (4, 8, 16, 32):
+    for n_probe in probes:
         got = ivf_topk(
-            sdf, n_queries=n_pairs, k=10, n_probe=n_probe, auto_lists=True, n_vecs=n
+            sdf, n_queries=n_pairs, k=10, n_probe=n_probe,
+            auto_lists=True, n_vecs=n,
         ).toPandas()
         top = got[got["rank"] == 1]
         hit = {
@@ -74,6 +85,7 @@ def main():
             {
                 "n_probe": n_probe,
                 "n_lists": lists,
+                "auto_probe": auto_only,
                 "probed_frac": round(n_probe / lists, 4),
                 "recall_planted_top1": round(len(hit) / n_pairs, 3),
             }

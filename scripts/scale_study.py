@@ -144,7 +144,7 @@ def _auto_overrides():
     def ann_ivf_auto(spark, sf_dir):
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         return sim.ivf_topk(emb, n_queries=5, k=10, auto_lists=True,
-                            n_vecs=_n(sf_dir))
+                            auto_probe=True, n_vecs=_n(sf_dir))
 
     def lsh_topk_auto(n_queries):
         def run(spark, sf_dir):

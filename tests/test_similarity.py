@@ -199,25 +199,48 @@ def test_auto_tables_reproduces_oracle_pin():
     assert resolve_n_tables(6, n_tables=4) == 4
 
 
+def test_resolve_n_probe_anchor_growth_and_pin():
+    """auto_probe resolver (round 7): at the oracle scales (16 lists) and
+    at the measured 161-list anchor it resolves to the pinned 4 probes;
+    past the anchor the required probes grow as sqrt(n_lists) from the
+    measured miss-rate fit (see similarity.resolve_n_probe docstring);
+    a higher declared recall target asks for more probes, matching the
+    measured curve (0.926 at P=8 -> target 0.9 needs P=7)."""
+    from covsar_spark.operators.similarity import resolve_n_probe
+
+    assert resolve_n_probe(16) == 4      # oracle-pinned driver scales
+    assert resolve_n_probe(161) == 4     # the measured anchor itself
+    assert resolve_n_probe(481) == 7     # 30x corpus (validated by study)
+    assert resolve_n_probe(1610) == 13   # 100x direction: ~sqrt growth
+    assert resolve_n_probe(161, target_recall=0.9) == 7
+
+
 def test_ivf_auto_lists_holds_recall_at_10x(spark):
     """Sibling measurement to the LSH auto_tables test: under auto_lists the
     probed FRACTION of the corpus shrinks as it grows (161 lists at 20.5k
     vectors, n_probe=4 probes 2.5%), yet the md5-conical quantizer localizes
     sim-0.90 partners well enough that planted-pair top-1 recall clears 0.8
-    at the DEFAULT probe count (deterministic fixture: measured 0.806; full
-    curve 0.806/0.926/0.988/1.0 at probes 4/8/16/32 — BENCH_SCALE_STUDY.json
-    ivf_recall_10x)."""
-    from covsar_spark.operators.similarity import ivf_topk, resolve_n_lists
+    at the auto-resolved probe count (deterministic fixture: measured 0.806;
+    full curve 0.806/0.926/0.988/1.0 at probes 4/8/16/32 —
+    BENCH_SCALE_STUDY.json ivf_recall_10x). Round 7: the entry runs with
+    AUTO KNOBS ONLY (auto_lists + auto_probe) — no manual recall knob."""
+    from covsar_spark.operators.similarity import (
+        ivf_topk,
+        resolve_n_lists,
+        resolve_n_probe,
+    )
 
     n_pairs = 500
     pdf, _ = _planted_corpus(19500, n_pairs, pairs_first=True)
     n = len(pdf)
     assert resolve_n_lists(n) == 161
+    assert resolve_n_probe(161) == 4
     sdf = spark.createDataFrame(pdf)
     sdf.persist().count()
     try:
         got = ivf_topk(
-            sdf, n_queries=n_pairs, k=10, n_probe=4, auto_lists=True, n_vecs=n
+            sdf, n_queries=n_pairs, k=10, auto_lists=True, auto_probe=True,
+            n_vecs=n,
         ).toPandas()
     finally:
         sdf.unpersist()
