@@ -59,10 +59,18 @@ def streaming_rollup(tokens_stream: DataFrame, tier: str, watermark: str = "10 m
     )
 
 
-def run_stream_to_memory(spark: SparkSession, path: str, tier: str, name: str = "stream_out"):
-    """Drive the stream to completion over a static dir (test/smoke path)."""
+def run_stream_to_memory(
+    spark: SparkSession,
+    path: str,
+    tier: str,
+    name: str = "stream_out",
+    watermark: str = "10 minutes",
+):
+    """Drive the stream to completion over a static dir (test/smoke path).
+    ``watermark`` must cover the event-time spread one micro-batch
+    reordering can produce (see run_span_stream_to_memory)."""
     q = (
-        streaming_rollup(read_tokens_stream(spark, path), tier)
+        streaming_rollup(read_tokens_stream(spark, path), tier, watermark=watermark)
         .writeStream.outputMode("append")
         .format("memory")
         .queryName(name)
@@ -71,3 +79,28 @@ def run_stream_to_memory(spark: SparkSession, path: str, tier: str, name: str = 
     q.processAllAvailable()
     q.stop()
     return spark.sql(f"SELECT * FROM {name}")
+
+
+def run_stream_to_files(
+    spark: SparkSession,
+    path: str,
+    out_path: str,
+    checkpoint_path: str,
+    tier: str,
+    watermark: str = "10 minutes",
+) -> None:
+    """File-sink form: the streamed tier-table writer. The parquet dir this
+    produces is ROLLUP_SCHEMA-shaped and is the upstream a deployment points
+    `streaming/span_stream.py` at — the composed streamed pipeline
+    (tests/test_streaming_span.py::test_composed_stream_pipeline_matches_batch).
+    Durable checkpoint: a restart resumes source offsets + window state."""
+    q = (
+        streaming_rollup(read_tokens_stream(spark, path), tier, watermark=watermark)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()

@@ -279,3 +279,139 @@ def test_rollup_stream_output_feeds_span_stream_schema(spark, tmp_path):
     got = [(f.name, f.dataType.simpleString()) for f in out.schema.fields]
     want = [(f.name, f.dataType.simpleString()) for f in ROLLUP_SCHEMA.fields]
     assert got == want
+
+
+def _doc_for_minute(source: str, minute_idx: int, copy: int = 0) -> str:
+    """Find a doc_id whose crc32-derived event time (rollup.with_event_time
+    == streaming_rollup: EPOCH0 + crc32(doc_id) % HORIZON) lands in minute
+    slot `minute_idx` of the horizon. Deterministic linear search (~10k
+    crc32 tries per slot at the 7-day horizon)."""
+    import zlib
+
+    from covsar_spark.schemas import HORIZON_S
+
+    k = copy * 1_000_000
+    while True:
+        did = f"{source}:{minute_idx}:{k}"
+        if (zlib.crc32(did.encode()) % HORIZON_S) // 60 == minute_idx:
+            return did
+        k += 1
+
+
+def test_composed_stream_pipeline_matches_batch(spark, tmp_path):
+    """End-to-end composed STREAMED pipeline == batch flagship tiers
+    (round-6 verdict #7). Today's other parity tests feed span_stream
+    synthetic rollup rows; this one drives the real upstream:
+
+        tokens parquet --> streaming_rollup (file sink, watermarked
+        append) --> union gapfill-equivalent heartbeat markers at every
+        MISSING grid slot (the batch `gapfill` op's filled=True rows,
+        which span_stream treats as markers by contract) --> span_stream
+
+    and asserts the TIER_SCHEMA_META output is bit-identical (lam/tc/eig +
+    both codec blobs) to the batch composition `run_tiers` executes
+    (rollup -> gapfill -> tier_kernel), including a fully-EMPTY interior
+    span covered only by markers. Event times are crc32-derived on both
+    paths; doc_ids are searched so each source's extent is span-aligned
+    (the batch extent clip is a no-op -> exact parity surface)."""
+    from covsar_spark.operators.gapfill import gapfill
+    from covsar_spark.plans.pipeline import run_tiers
+    from covsar_spark.schemas import EPOCH0_UNIX, HORIZON_S, TOKENS_SCHEMA
+    from covsar_spark.streaming.rollup_stream import run_stream_to_files
+
+    span_slots = SPAN // TIER_S  # 60 minutes per 1m-tier span
+    # alpha: spans 0-2 populated; beta: spans 0 and 2 only (span 1 is a
+    # fully-empty interior span on both paths). Both sources keep minute 0
+    # and minute 179 so extents are span-aligned.
+    slot_plan = {
+        "alpha": [sp * span_slots + k for sp in range(3)
+                  for k in (0, 7, 13, 22, 31, 40, 52, 59)],
+        "beta": [sp * span_slots + k for sp in (0, 2)
+                 for k in (0, 11, 27, 44, 59)],
+    }
+    rows = []
+    for source, slots in slot_plan.items():
+        for slot in slots:
+            n_copies = 2 if slot % span_slots == 22 else 1
+            for c in range(n_copies):
+                n_tok = 20 + (slot * 13 + len(source) * 7 + c * 101) % 480
+                rows.append(
+                    (_doc_for_minute(source, slot, c), [1, 2], n_tok, source)
+                )
+    # flush doc: last minute of the horizon — advances the rollup stream's
+    # watermark past every real window end; its own window never finalizes
+    rows.append((_doc_for_minute("zz_flush", HORIZON_S // 60 - 1), [1], 1, "zz_flush"))
+    tok_path = str(tmp_path / "tok")
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "tokens", "n_tok", "source"]),
+        schema=TOKENS_SCHEMA,
+    ).coalesce(1).write.parquet(tok_path)
+
+    # ---- streamed path: tokens stream -> rollup stream (file sink) ----
+    roll_out = str(tmp_path / "roll_out")
+    run_stream_to_files(
+        spark, tok_path, roll_out, str(tmp_path / "roll_ckpt"), TIER
+    )
+    streamed_roll = spark.read.parquet(roll_out)
+
+    # ---- batch path: the flagship composition over the same tokens ----
+    tokens = spark.read.parquet(tok_path).filter(F.col("source") != "zz_flush")
+    tiers = run_tiers(
+        tokens, policy="zero", with_eigen=True, with_chunks=True,
+        with_filled=False, persist=False,
+    )["1m"]
+
+    # stage-1 parity: every streamed finalized window == the batch rollup
+    cols = [f.name for f in ROLLUP_SCHEMA.fields]
+    got_roll = streamed_roll.toPandas()[cols].sort_values(
+        ["source", "epoch_s"]).reset_index(drop=True)
+    exp_roll = tiers["rollup"].toPandas()[cols].sort_values(
+        ["source", "epoch_s"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got_roll, exp_roll, check_dtype=False)
+
+    # gapfill-equivalent heartbeats: the batch gapfill's filled=True marker
+    # rows at every missing grid slot (span_stream contract: filled rows
+    # create span state but are never observations), plus the span-stream
+    # flush row
+    span_in = str(tmp_path / "span_in")
+    streamed_roll.coalesce(1).write.parquet(span_in)
+    markers = gapfill(tiers["rollup"], TIER, "zero").filter(F.col("filled"))
+    flush = spark.createDataFrame(
+        pd.DataFrame(
+            [("zz_flush", EPOCH0_UNIX + 10 * SPAN, 1, 1, 1, 1,
+              1.0 / TIER_S, False)],
+            columns=cols,
+        ),
+        schema=ROLLUP_SCHEMA,
+    )
+    markers.select(*cols).unionByName(flush).coalesce(1).write.mode(
+        "append"
+    ).parquet(span_in)
+
+    got = (
+        run_span_stream_to_memory(
+            spark, span_in, TIER, name="span_composed",
+            watermark=f"{4 * SPAN} seconds",
+        )
+        .filter(F.col("source") != "zz_flush")
+        .toPandas()
+        .sort_values(["source", "span_s"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        tiers["fused"]
+        .toPandas()
+        .sort_values(["source", "span_s"])
+        .reset_index(drop=True)
+    )
+    # 3 alpha spans + 3 beta spans (span 1 empty-interior on both paths)
+    assert exp["span_s"].tolist() == got["span_s"].tolist()
+    assert len(got) == 6
+    for c in ("source", "n_epochs", "n_points"):
+        assert got[c].tolist() == exp[c].tolist(), c
+    assert got["lam"].tolist() == exp["lam"].tolist()
+    assert got["tc"].tolist() == exp["tc"].tolist()
+    for g, e in zip(got["eig"], exp["eig"]):
+        assert np.array_equal(np.asarray(g), np.asarray(e))
+    assert [bytes(b) for b in got["ts_blob"]] == [bytes(b) for b in exp["ts_blob"]]
+    assert [bytes(b) for b in got["val_blob"]] == [bytes(b) for b in exp["val_blob"]]
