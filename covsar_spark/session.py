@@ -26,6 +26,34 @@ def _shuffle_dir() -> str:
     return "/tmp"
 
 
+def iceberg_jar() -> str | None:
+    """Opportunistic Iceberg runtime detection (round-6 verdict #8): the
+    first environment that ships an `iceberg-spark-runtime` jar gets real
+    catalog commits with no code change. Checked, in order:
+    `$SPARK_GRAFT_ICEBERG_JAR` (explicit path), then the pyspark and
+    `$SPARK_HOME` jar directories. Returns the jar path or None — session
+    build keys the catalog config on it, tests key their skip marker on it."""
+    import glob
+
+    explicit = os.environ.get("SPARK_GRAFT_ICEBERG_JAR", "").strip()
+    if explicit and os.path.isfile(explicit):
+        return explicit
+    jar_dirs = []
+    try:
+        import pyspark
+
+        jar_dirs.append(os.path.join(os.path.dirname(pyspark.__file__), "jars"))
+    except ImportError:  # pragma: no cover
+        pass
+    if os.environ.get("SPARK_HOME"):
+        jar_dirs.append(os.path.join(os.environ["SPARK_HOME"], "jars"))
+    for d in jar_dirs:
+        hits = sorted(glob.glob(os.path.join(d, "iceberg-spark-runtime*.jar")))
+        if hits:
+            return hits[0]
+    return None
+
+
 def get_spark(
     app_name: str = "covsar_spark",
     cores: int | None = None,
@@ -77,6 +105,23 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    jar = iceberg_jar()
+    if jar is not None:  # pragma: no cover — jars absent in this image
+        # Hadoop-type catalog `covsar` so `write_tier(table="covsar.db.t")`
+        # commits through the real Iceberg path (sources/tables.py S8)
+        warehouse = os.environ.get(
+            "SPARK_GRAFT_ICEBERG_WAREHOUSE", "/tmp/covsar_iceberg_warehouse"
+        )
+        builder = (
+            builder.config("spark.jars", jar)
+            .config(
+                "spark.sql.extensions",
+                "org.apache.iceberg.spark.extensions.IcebergSparkSessionExtensions",
+            )
+            .config("spark.sql.catalog.covsar", "org.apache.iceberg.spark.SparkCatalog")
+            .config("spark.sql.catalog.covsar.type", "hadoop")
+            .config("spark.sql.catalog.covsar.warehouse", warehouse)
+        )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

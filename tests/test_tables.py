@@ -30,3 +30,35 @@ def test_write_read_roundtrip_and_pruning(spark, tiny_cols, tmp_path):
     assert set(map(tuple, got[["source", "epoch_s"]].itertuples(index=False))) == set(
         map(tuple, exp[["source", "epoch_s"]].itertuples(index=False))
     )
+
+
+# Skipped-vs-run marker keyed on jar presence (round-6 verdict #8): in this
+# image the iceberg-spark-runtime jar is absent so this SKIPS (visible in
+# the pytest summary); the first environment that ships the jar — or sets
+# $SPARK_GRAFT_ICEBERG_JAR — runs the real catalog-commit path with no code
+# change (session.get_spark configures the `covsar` hadoop catalog when the
+# probe hits).
+import pytest
+
+from covsar_spark.session import iceberg_jar
+
+
+@pytest.mark.skipif(
+    iceberg_jar() is None,
+    reason="iceberg-spark-runtime jar not found (SPARK_GRAFT_ICEBERG_JAR unset, "
+    "no jar in pyspark/SPARK_HOME jar dirs) — parquet fallback covered above",
+)
+def test_write_tier_iceberg_catalog_commit(spark, tiny_cols):
+    """Real Iceberg path: createOrReplace then append through
+    write_tier(table=...), read back via the catalog table."""
+    roll = rollup_tokens(with_event_time(cols_to_spark(spark, tiny_cols)), "1h")
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS covsar.tiers")
+    table = "covsar.tiers.tier_1h_test"
+    write_tier(roll, path="", tier="1h", mode="overwrite", table=table)
+    n = roll.count()
+    assert spark.table(table).count() == n
+    write_tier(roll, path="", tier="1h", mode="append", table=table)
+    assert spark.table(table).count() == 2 * n
+    # day partitioning survived the catalog round-trip
+    assert "day" in spark.table(table).columns
+    spark.sql(f"DROP TABLE {table}")
