@@ -375,6 +375,112 @@ def phase_unwrap_q(spark, sf_dir):
     )
 
 
+_UW2_H, _UW2_W = 48, 48
+
+
+def _uw2_field(spark, sf_dir):
+    """Planted wrapped-phase rasters for the 2-D spatial unwrap entries: one
+    48x48 grid per region, phase = ramp + sinusoid with md5-derived
+    coefficients (the shared `conv(substr(md5))` integer recipe), gradients
+    bounded < pi so the surface is residue-free. Residue-free means the
+    least-squares unwrap recovers it EXACTLY up to the mean-zero gauge
+    (operators/unwrap2d.py) — which is what lets the oracle be the CLOSED
+    FORM surface itself rather than a replay of the solver."""
+    import math as _m
+
+    from .functions.complexmath import wrap_phase
+
+    reg = _read(spark, sf_dir, "region").select("r_name")
+
+    def p(tag: str, scale: float):
+        hx = F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"uw2|{tag}|"), F.col("r_name"))), 1, 10),
+            16, 10,
+        ).cast("bigint")
+        return (F.pmod(hx, F.lit(2001)) - 1000) / 1000.0 * scale
+
+    grid = reg.select(
+        "r_name", F.explode(F.sequence(F.lit(0), F.lit(_UW2_H - 1))).alias("y")
+    ).select(
+        "r_name", "y", F.explode(F.sequence(F.lit(0), F.lit(_UW2_W - 1))).alias("x")
+    )
+    # coefficient scales are IRRATIONAL (k/pi): with plain decimal scales
+    # the planted ramp lands systematically on round-3 half boundaries
+    # (coefficients have granularity 0.001*scale), where the solver's 4e-13
+    # roundoff flips the rounded digit vs the oracle's closed form
+    two_pi = 2 * _m.pi
+    true = (
+        p("ax", 2.8 / _m.pi) * F.col("x")
+        + p("ay", 2.8 / _m.pi) * F.col("y")
+        + p("amp", 3.5 / _m.pi)
+        * F.sin(F.col("x") * F.lit(two_pi / _UW2_W))
+        * F.cos(F.col("y") * F.lit(two_pi / _UW2_H))
+    )
+    return grid.select(
+        "r_name",
+        F.col("y").cast("long").alias("y"),
+        F.col("x").cast("long").alias("x"),
+        wrap_phase(true).alias("phase"),
+    )
+
+
+_UW2_ORACLE = f"""
+    WITH g AS (SELECT r_name, unnest(generate_series(0, {_UW2_H - 1})) AS y FROM region),
+    gg AS (SELECT r_name, y, unnest(generate_series(0, {_UW2_W - 1})) AS x FROM g),
+    t AS (SELECT r_name, y, x,
+            ((('0x' || substr(md5('uw2|ax|' || r_name), 1, 10))::BIGINT % 2001 - 1000)
+              / 1000.0) * (2.8 / pi()) * x
+          + ((('0x' || substr(md5('uw2|ay|' || r_name), 1, 10))::BIGINT % 2001 - 1000)
+              / 1000.0) * (2.8 / pi()) * y
+          + ((('0x' || substr(md5('uw2|amp|' || r_name), 1, 10))::BIGINT % 2001 - 1000)
+              / 1000.0) * (3.5 / pi())
+            * sin(x * (2 * pi() / {_UW2_W})) * cos(y * (2 * pi() / {_UW2_H})) AS tp
+          FROM gg)
+    SELECT r_name, y, x,
+           round(fmod(fmod(tp + pi(), 2 * pi()) + 2 * pi(), 2 * pi()) - pi(), 6)
+             AS wrapped,
+           round(tp - avg(tp) OVER (PARTITION BY r_name), 3) AS unwrapped
+    FROM t
+    """
+
+
+@register("phase_unwrap_2d", _UW2_ORACLE)
+def phase_unwrap_2d_q(spark, sf_dir):
+    """2-D spatial least-squares phase unwrap (Ghiglia & Romero via FFT
+    Poisson solve) — the engine-native form of the reference's external
+    snaphu step (covsar/unwrap.py: CLI wrapper, env-gated). The oracle is
+    the closed-form planted surface: on residue-free fields LS unwrapping
+    is exact up to the removed mean, so DuckDB verifies the solver without
+    being able to run it (see operators/unwrap2d.py + tests/test_unwrap2d.py
+    for the exactness proof obligations)."""
+    from .operators.unwrap2d import unwrap_2d
+
+    out = unwrap_2d(_uw2_field(spark, sf_dir), ["r_name"])
+    return out.select(
+        "r_name", "y", "x",
+        F.round("phase", 6).cast("double").alias("wrapped"),
+        F.round("unwrapped", 3).cast("double").alias("unwrapped"),
+    )
+
+
+@register("phase_unwrap_2d_tiled", _UW2_ORACLE)
+def phase_unwrap_2d_tiled_q(spark, sf_dir):
+    """Tiled distributed form of the 2-D unwrap (snaphu `--tile` analogue):
+    per-tile LS solves + seam reconciliation via a second Poisson solve on
+    the tile-adjacency grid (operators/unwrap2d.py:unwrap_2d_tiled). 16px
+    tiles over the 48x48 rasters -> a 3x3 tile graph per region; the SAME
+    closed-form oracle verifies the full pipeline because seam offsets are
+    recovered exactly on residue-free surfaces."""
+    from .operators.unwrap2d import unwrap_2d_tiled
+
+    out = unwrap_2d_tiled(_uw2_field(spark, sf_dir), ["r_name"], tile=16)
+    return out.select(
+        "r_name", "y", "x",
+        F.round("phase", 6).cast("double").alias("wrapped"),
+        F.round("unwrapped", 3).cast("double").alias("unwrapped"),
+    )
+
+
 @register(
     "interferogram",
     f"""
@@ -2434,6 +2540,14 @@ _SUITE_ROWEXPR_3 = {
     "phase_unwrap": "length(source) + epoch_s"
                     " + coalesce(cast(round(wrapped * 1000000, 0) as bigint), 0)"
                     " + coalesce(cast(round(unwrapped * 1000000, 0) as bigint), 0)",
+    # demoted late in round 7 to make cap room for the new 2-D unwrap
+    # entries — each a duplicate of in-cap siblings (A7: rollup_1h_cascade +
+    # rollup_1d_cascade; W1: running_product + running_sum)
+    "tier_cascade_1h": "length(source) + epoch_s + token_count + n_docs",
+    "phase_cumprod": "length(source) + epoch_s"
+                     " + coalesce(cast(round(cum_phase * 1000000, 0) as bigint), 0)"
+                     " + coalesce(cast(round(cum_re * 1000000, 0) as bigint), 0)"
+                     " + coalesce(cast(round(cum_im * 1000000, 0) as bigint), 0)",
 }
 
 
@@ -2564,6 +2678,12 @@ DRIVER_DEMOTED = [
     "gapfill_cross_1m",
     "boilerplate_ngrams",
     "phase_unwrap",
+    # demoted late in round 7: cap room for phase_unwrap_2d(+_tiled), the
+    # new spatial-unwrap operators that need first direct driver rows.
+    # Both are exact duplicates of in-cap SURVEY rows (A7 / W1) and carry
+    # fresh checksum rows via demoted_suite_3.
+    "tier_cascade_1h",
+    "phase_cumprod",
 ]
 
 

@@ -1,0 +1,258 @@
+"""2-D spatial phase unwrapping — the engine-native form of the reference's
+snaphu step (covsar/unwrap.py, covsar/unwrap_all.py: a CLI wrapper around the
+external snaphu binary, env-gated in this sandbox like geocoding).
+
+Instead of shelling out, this implements the classic unweighted LEAST-SQUARES
+unwrap (Ghiglia & Romero, JOSA A 11(1), 1994): the unwrapped surface phi
+minimizes sum |grad(phi) - W(grad(psi))|^2, i.e. solves the discrete Poisson
+equation lap(phi) = div(W(grad(psi))) under Neumann (mirror) boundary
+conditions. The solve is a fast transform: the mirror-BC Laplacian
+diagonalizes in the DCT basis, realized here as an FFT over the half-sample
+even extension (numpy-only; no scipy in this image). On residue-free fields
+(every wrapped gradient equals the true gradient) the recovery is EXACT up
+to a global constant — which is what makes an exact SQL oracle possible for
+the contract entries (the oracle replays the closed-form planted surface).
+
+Scale design (the snaphu-tiling analogue, distributed relationally): rasters
+are cut into TILE x TILE blocks, each block LS-unwrapped independently in
+`applyInPandas` (state = one tile, bounded); per-tile integer-free constants
+are reconciled by a second, MUCH smaller Poisson solve on the tile-adjacency
+grid whose divergence is the per-seam mean mismatch — the normal equations
+of min sum_edges (c_B - c_A - o_AB)^2 ARE the tile-grid Laplacian. Pixels
+never shuffle beyond their tile; only 1-pixel seam strips join across tiles;
+the offset field is O(n_tiles) per raster. At a 10^5 x 10^5 raster with 4096
+-pixel tiles that is ~600 offset rows per raster against 10^10 pixels.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.complexmath import wrap_phase
+
+TWO_PI = 2.0 * math.pi
+
+
+def wrap_np(a: np.ndarray) -> np.ndarray:
+    """Wrap to [-pi, pi) — numpy twin of functions.complexmath.wrap_phase."""
+    return np.mod(a + math.pi, TWO_PI) - math.pi
+
+
+def poisson_neumann(rho: np.ndarray) -> np.ndarray:
+    """Solve lap(phi) = rho for the 5-point mirror-BC (Neumann) Laplacian on
+    an (H, W) grid, mean-zero solution. Half-sample even extension to
+    (2H, 2W) turns the mirror BC into periodicity, where the Laplacian is
+    diagonal under FFT with eigenvalues 2cos(pi k/H) + 2cos(pi l/W) - 4."""
+    h, w = rho.shape
+    ext = np.block([[rho, rho[:, ::-1]], [rho[::-1, :], rho[::-1, ::-1]]])
+    f = np.fft.fft2(ext)
+    lam = (
+        2.0 * np.cos(math.pi * np.arange(2 * h) / h)[:, None]
+        + 2.0 * np.cos(math.pi * np.arange(2 * w) / w)[None, :]
+        - 4.0
+    )
+    lam[0, 0] = 1.0  # zero mode: fixed below by mean-centering
+    f = f / lam
+    f[0, 0] = 0.0
+    phi = np.real(np.fft.ifft2(f))[:h, :w]
+    return phi - phi.mean()
+
+
+def laplacian_neumann(phi: np.ndarray) -> np.ndarray:
+    """The forward operator poisson_neumann inverts (test invariant)."""
+    dx = np.diff(phi, axis=1)
+    dy = np.diff(phi, axis=0)
+    return _divergence(dx, dy)
+
+
+def _divergence(dx: np.ndarray, dy: np.ndarray) -> np.ndarray:
+    """div of edge fields with implicit zero flux at the boundary (the
+    Neumann form of Ghiglia & Romero's rho)."""
+    h = dy.shape[0] + 1 if dy.size else dx.shape[0]
+    w = dx.shape[1] + 1 if dx.size else dy.shape[1]
+    rho = np.zeros((h, w))
+    rho[:, :-1] += dx
+    rho[:, 1:] -= dx
+    rho[:-1, :] += dy
+    rho[1:, :] -= dy
+    return rho
+
+
+def ls_unwrap_grid(psi: np.ndarray) -> np.ndarray:
+    """Least-squares unwrap one dense (H, W) wrapped-phase grid; mean-zero
+    output. Exact (to FFT roundoff) up to the removed constant whenever the
+    field has no residues; with residues it is the global L2-optimal
+    surface (the documented LS semantics — snaphu's MCF instead optimizes
+    L1/L0, a different estimator of the same quantity)."""
+    dx = wrap_np(np.diff(psi, axis=1))
+    dy = wrap_np(np.diff(psi, axis=0))
+    return poisson_neumann(_divergence(dx, dy))
+
+
+def _out_schema(df: DataFrame, part_cols: list[str], y: str, x: str, phase: str, out: str) -> T.StructType:
+    fields = [df.schema[c] for c in part_cols]
+    fields += [
+        T.StructField(y, T.LongType(), False),
+        T.StructField(x, T.LongType(), False),
+        T.StructField(phase, T.DoubleType(), False),
+        T.StructField(out, T.DoubleType(), False),
+    ]
+    return T.StructType(fields)
+
+
+def _grid_from_pdf(pdf: pd.DataFrame, y: str, x: str, phase: str) -> tuple[np.ndarray, int, int]:
+    """Pivot (y, x, phase) rows into a dense local grid (raster rows are
+    required dense per tile — the raster data model, not sparse events)."""
+    yy = pdf[y].to_numpy(dtype=np.int64)
+    xx = pdf[x].to_numpy(dtype=np.int64)
+    y0, x0 = yy.min(), xx.min()
+    h = int(yy.max() - y0 + 1)
+    w = int(xx.max() - x0 + 1)
+    g = np.full((h, w), np.nan)
+    g[yy - y0, xx - x0] = pdf[phase].to_numpy(dtype=np.float64)
+    if np.isnan(g).any():
+        raise ValueError(f"unwrap_2d requires a dense grid; tile at ({y0},{x0}) has holes")
+    return g, int(y0), int(x0)
+
+
+def unwrap_2d(
+    df: DataFrame,
+    part_cols: list[str],
+    y: str = "y",
+    x: str = "x",
+    phase: str = "phase",
+    out: str = "unwrapped",
+) -> DataFrame:
+    """Single-solve form: one LS unwrap per partition key (one raster per
+    `applyInPandas` group). Use for rasters that fit one task; the tiled
+    form below is the raster-scale path."""
+    schema = _out_schema(df, part_cols, y, x, phase, out)
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        g, y0, x0 = _grid_from_pdf(pdf, y, x, phase)
+        phi = ls_unwrap_grid(g)
+        h, w = g.shape
+        res = {c: np.repeat(pdf[c].iloc[0], h * w) for c in part_cols}
+        res[y] = (y0 + np.arange(h)).repeat(w)
+        res[x] = np.tile(x0 + np.arange(w), h)
+        res[phase] = g.ravel()
+        res[out] = phi.ravel()
+        return pd.DataFrame(res)
+
+    return df.groupBy(*part_cols).applyInPandas(solve, schema)
+
+
+def unwrap_2d_tiled(
+    df: DataFrame,
+    part_cols: list[str],
+    tile: int,
+    y: str = "y",
+    x: str = "x",
+    phase: str = "phase",
+    out: str = "unwrapped",
+) -> DataFrame:
+    """Tiled distributed form (snaphu `--tile` analogue). Three relational
+    stages:
+
+    1. per-(partition, tile) LS unwrap in `applyInPandas` — pixels stay in
+       their tile, state is one TILE x TILE block;
+    2. seam reconciliation: 1-pixel edge strips of adjacent tiles join on
+       (partition, row|col); per-seam offset o_AB = mean(W(psi_B - psi_A)
+       - (phi_B - phi_A)); the per-tile constants solve the tile-grid
+       Poisson equation with divergence(o) as source (= the normal
+       equations of the seam least squares) — a second, tiny
+       `applyInPandas` over offset rows only;
+    3. broadcast-join the O(n_tiles) constants back onto pixels and
+       re-center per partition.
+
+    On residue-free fields this equals `unwrap_2d` exactly (up to the
+    shared mean-zero gauge) — pinned by tests/test_unwrap2d.py."""
+    ty, tx = "_ty", "_tx"
+    tiled = df.withColumn(ty, F.floor(F.col(y) / tile).cast("long")).withColumn(
+        tx, F.floor(F.col(x) / tile).cast("long")
+    )
+    stage1 = unwrap_2d(tiled, part_cols + [ty, tx], y=y, x=x, phase=phase, out="_phi_t")
+
+    key = [F.col(c) for c in part_cols]
+    a, b = stage1.alias("a"), stage1.alias("b")
+
+    def _seam(join_cond, flip_axis_col):
+        """Mean per-seam mismatch between tile A and its +1 neighbor along
+        one axis; emitted keyed by BOTH tiles' ids."""
+        cond = join_cond & F.expr(
+            " AND ".join(f"a.{c} = b.{c}" for c in part_cols)
+        )
+        o = wrap_phase(F.col(f"b.{phase}") - F.col(f"a.{phase}")) - (
+            F.col("b._phi_t") - F.col("a._phi_t")
+        )
+        return (
+            a.join(b, cond)
+            .groupBy(
+                *[F.col(f"a.{c}").alias(c) for c in part_cols],
+                F.col(f"a.{ty}").alias("ty_a"),
+                F.col(f"a.{tx}").alias("tx_a"),
+                F.col(f"b.{ty}").alias("ty_b"),
+                F.col(f"b.{tx}").alias("tx_b"),
+            )
+            .agg(F.avg(o).alias("o"))
+            .withColumn("axis", F.lit(flip_axis_col))
+        )
+
+    # horizontal seams: A's right edge meets B's left edge on the same row
+    horiz = _seam(
+        (F.col(f"a.{x}") % tile == tile - 1)
+        & (F.col(f"b.{x}") == F.col(f"a.{x}") + 1)
+        & (F.col(f"b.{y}") == F.col(f"a.{y}")),
+        "x",
+    )
+    vert = _seam(
+        (F.col(f"a.{y}") % tile == tile - 1)
+        & (F.col(f"b.{y}") == F.col(f"a.{y}") + 1)
+        & (F.col(f"b.{x}") == F.col(f"a.{x}")),
+        "y",
+    )
+    edges = horiz.unionByName(vert)
+
+    off_fields = [df.schema[c] for c in part_cols] + [
+        T.StructField(ty, T.LongType(), False),
+        T.StructField(tx, T.LongType(), False),
+        T.StructField("_c", T.DoubleType(), False),
+    ]
+
+    def solve_offsets(pdf: pd.DataFrame) -> pd.DataFrame:
+        nty = int(max(pdf["ty_a"].max(), pdf["ty_b"].max()) + 1)
+        ntx = int(max(pdf["tx_a"].max(), pdf["tx_b"].max()) + 1)
+        ox = np.zeros((nty, max(ntx - 1, 1)))
+        oy = np.zeros((max(nty - 1, 1), ntx))
+        for r in pdf.itertuples(index=False):
+            if r.axis == "x":
+                ox[int(r.ty_a), int(r.tx_a)] = r.o
+            else:
+                oy[int(r.ty_a), int(r.tx_a)] = r.o
+        if ntx == 1:
+            ox = np.zeros((nty, 0))
+        if nty == 1:
+            oy = np.zeros((0, ntx))
+        c = poisson_neumann(_divergence(ox, oy))
+        res = {col: np.repeat(pdf[col].iloc[0], nty * ntx) for col in part_cols}
+        res[ty] = np.arange(nty, dtype=np.int64).repeat(ntx)
+        res[tx] = np.tile(np.arange(ntx, dtype=np.int64), nty)
+        res["_c"] = c.ravel()
+        return pd.DataFrame(res)
+
+    consts = edges.groupBy(*part_cols).applyInPandas(solve_offsets, T.StructType(off_fields))
+
+    joined = (
+        # left join: a raster smaller than one tile has no seams, hence no
+        # offset rows — its single tile keeps offset 0
+        stage1.join(F.broadcast(consts), part_cols + [ty, tx], "left")
+        .withColumn("_raw", F.col("_phi_t") + F.coalesce(F.col("_c"), F.lit(0.0)))
+        .withColumn(out, F.col("_raw") - F.avg("_raw").over(W.partitionBy(*part_cols)))
+    )
+    return joined.select(*part_cols, y, x, phase, out)
