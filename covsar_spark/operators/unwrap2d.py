@@ -30,7 +30,7 @@ import math
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -179,44 +179,51 @@ def unwrap_2d_tiled(
     )
     stage1 = unwrap_2d(tiled, part_cols + [ty, tx], y=y, x=x, phase=phase, out="_phi_t")
 
-    key = [F.col(c) for c in part_cols]
-    a, b = stage1.alias("a"), stage1.alias("b")
-
-    def _seam(join_cond, flip_axis_col):
+    def _seam(axis_col, other_col, flip_axis_col):
         """Mean per-seam mismatch between tile A and its +1 neighbor along
-        one axis; emitted keyed by BOTH tiles' ids."""
-        cond = join_cond & F.expr(
-            " AND ".join(f"a.{c} = b.{c}" for c in part_cols)
+        `axis_col`; emitted keyed by BOTH tiles' ids. Both sides are
+        PRE-FILTERED to their 1-pixel edge strips (2/tile of the pixels)
+        and joined on explicit equality keys — the strip filters push to
+        the scan and only strip rows ever shuffle (a full-table self-join
+        with the strip condition inside the join predicate instead reads
+        superlinear past ~100 tiles/raster; measured by
+        scripts/unwrap_scale.py)."""
+        a = stage1.filter(F.col(axis_col) % tile == tile - 1).select(
+            *part_cols,
+            F.col(other_col).alias("_k"),
+            (F.col(axis_col) + 1).alias("_j"),
+            F.col(phase).alias("_ph_a"),
+            F.col("_phi_t").alias("_phi_a"),
+            F.col(ty).alias("ty_a"),
+            F.col(tx).alias("tx_a"),
         )
-        o = wrap_phase(F.col(f"b.{phase}") - F.col(f"a.{phase}")) - (
-            F.col("b._phi_t") - F.col("a._phi_t")
+        b = stage1.filter(
+            (F.col(axis_col) % tile == 0) & (F.col(axis_col) > 0)
+        ).select(
+            *[F.col(c).alias(f"_b_{c}") for c in part_cols],
+            F.col(other_col).alias("_bk"),
+            F.col(axis_col).alias("_bj"),
+            F.col(phase).alias("_ph_b"),
+            F.col("_phi_t").alias("_phi_b"),
+            F.col(ty).alias("ty_b"),
+            F.col(tx).alias("tx_b"),
+        )
+        cond = (F.col("_k") == F.col("_bk")) & (F.col("_j") == F.col("_bj"))
+        for c in part_cols:
+            cond = cond & (F.col(c) == F.col(f"_b_{c}"))
+        o = wrap_phase(F.col("_ph_b") - F.col("_ph_a")) - (
+            F.col("_phi_b") - F.col("_phi_a")
         )
         return (
             a.join(b, cond)
-            .groupBy(
-                *[F.col(f"a.{c}").alias(c) for c in part_cols],
-                F.col(f"a.{ty}").alias("ty_a"),
-                F.col(f"a.{tx}").alias("tx_a"),
-                F.col(f"b.{ty}").alias("ty_b"),
-                F.col(f"b.{tx}").alias("tx_b"),
-            )
+            .groupBy(*part_cols, "ty_a", "tx_a", "ty_b", "tx_b")
             .agg(F.avg(o).alias("o"))
             .withColumn("axis", F.lit(flip_axis_col))
         )
 
     # horizontal seams: A's right edge meets B's left edge on the same row
-    horiz = _seam(
-        (F.col(f"a.{x}") % tile == tile - 1)
-        & (F.col(f"b.{x}") == F.col(f"a.{x}") + 1)
-        & (F.col(f"b.{y}") == F.col(f"a.{y}")),
-        "x",
-    )
-    vert = _seam(
-        (F.col(f"a.{y}") % tile == tile - 1)
-        & (F.col(f"b.{y}") == F.col(f"a.{y}") + 1)
-        & (F.col(f"b.{x}") == F.col(f"a.{x}")),
-        "y",
-    )
+    horiz = _seam(x, y, "x")
+    vert = _seam(y, x, "y")
     edges = horiz.unionByName(vert)
 
     off_fields = [df.schema[c] for c in part_cols] + [
@@ -248,11 +255,18 @@ def unwrap_2d_tiled(
 
     consts = edges.groupBy(*part_cols).applyInPandas(solve_offsets, T.StructType(off_fields))
 
-    joined = (
+    raw = (
         # left join: a raster smaller than one tile has no seams, hence no
         # offset rows — its single tile keeps offset 0
         stage1.join(F.broadcast(consts), part_cols + [ty, tx], "left")
         .withColumn("_raw", F.col("_phi_t") + F.coalesce(F.col("_c"), F.lit(0.0)))
-        .withColumn(out, F.col("_raw") - F.avg("_raw").over(W.partitionBy(*part_cols)))
     )
-    return joined.select(*part_cols, y, x, phase, out)
+    # re-center to the mean-zero gauge via partial-aggregated means + a
+    # broadcast join (O(n_rasters) rows): a whole-partition window here
+    # would instead funnel every pixel of a raster through ONE task
+    means = raw.groupBy(*part_cols).agg(F.avg("_raw").alias("_mu"))
+    return (
+        raw.join(F.broadcast(means), part_cols)
+        .withColumn(out, F.col("_raw") - F.col("_mu"))
+        .select(*part_cols, y, x, phase, out)
+    )

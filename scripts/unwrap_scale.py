@@ -1,0 +1,156 @@
+"""Scale points for the tiled 2-D unwrap (operators/unwrap2d.py).
+
+The contract entries pin correctness at 48x48 rasters (11.5k px). This
+study drives the TILED path through growing raster sizes at a FIXED 48px
+tile — so the tile count per raster grows 4x per step (2x2 -> 4x4 -> 8x8
+-> 16x16) exactly like a production snaphu `--tile` sweep — and reports:
+
+- wall (best-of-N) + pixels/sec per size,
+- slope vs linear between consecutive sizes ((wall_hi/wall_lo)/(px_hi/px_lo);
+  1.0 = perfectly linear, the flag bar elsewhere in the repo is 1.3),
+- max |unwrapped - closed_form| over EVERY pixel — the correctness-at-scale
+  check: surfaces are planted residue-free (gradients < pi), so the exact
+  closed form IS the truth at any size, recomputed in Spark expressions on
+  the solver's own output (no second data path, no driver-side pixels).
+
+Raster synthesis is fully distributed (sequence/explode + md5-derived
+coefficients, the contract's shared deterministic recipe) — no external
+data, rasters never exist on the driver.
+
+Usage: python scripts/unwrap_scale.py [n_rasters] [sizes_csv] [repeats]
+       defaults: 8 rasters, sizes 96,192,384,768, best-of-2
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import Window  # noqa: E402
+from pyspark.sql import functions as F  # noqa: E402
+
+from covsar_spark.operators.unwrap2d import unwrap_2d_tiled  # noqa: E402
+from covsar_spark.session import get_spark  # noqa: E402
+
+TILE = 48
+
+
+def _coef(tag: str, scale: float):
+    """md5-derived coefficient in [-scale, scale] — same recipe as the
+    contract's _uw2_field, keyed on the raster id column."""
+    hx = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"uws|{tag}|"), F.col("rid"))), 1, 10),
+        16, 10,
+    ).cast("bigint")
+    return (F.pmod(hx, F.lit(2001)) - 1000) / 1000.0 * scale
+
+
+def _true_expr(h: int, w: int):
+    """Closed-form planted surface phi(rid, y, x): ramp + sinusoid,
+    gradients < pi (ramp |a| <= 2.8/pi ~ 0.89; sinusoid slope <= 2*pi*amp/P
+    with amp <= 3.5/pi at period >= 96 -> < 0.08) => residue-free."""
+    return (
+        _coef("ax", 2.8 / math.pi) * F.col("x")
+        + _coef("ay", 2.8 / math.pi) * F.col("y")
+        + _coef("amp", 3.5 / math.pi)
+        * F.sin(F.col("x") * F.lit(2 * math.pi / w))
+        * F.cos(F.col("y") * F.lit(2 * math.pi / h))
+    )
+
+
+def field(spark, n_rasters: int, h: int, w: int):
+    from covsar_spark.functions.complexmath import wrap_phase
+
+    rid = spark.range(n_rasters).select(
+        F.concat(F.lit("r"), F.col("id")).alias("rid")
+    )
+    grid = rid.select(
+        "rid", F.explode(F.sequence(F.lit(0), F.lit(h - 1))).alias("y")
+    ).select(
+        "rid", "y", F.explode(F.sequence(F.lit(0), F.lit(w - 1))).alias("x")
+    )
+    return grid.select(
+        "rid",
+        F.col("y").cast("long").alias("y"),
+        F.col("x").cast("long").alias("x"),
+        wrap_phase(_true_expr(h, w)).alias("phase"),
+    )
+
+
+def run_size(spark, n_rasters: int, size: int, repeats: int) -> dict:
+    def build():
+        # rebuilt FRESH per repeat: repeated actions on one DataFrame reuse
+        # the prior job's shuffle outputs (skipped stages), which would let
+        # best-of-N pick a nearly-free re-read instead of a real run
+        df = field(spark, n_rasters, size, size)
+        out = unwrap_2d_tiled(df, ["rid"], tile=TILE)
+        # truth recomputed from (rid, y, x) on the solver's output; the
+        # solver emits the mean-zero gauge, so compare mean-centered truth
+        return (
+            out.withColumn("_true", _true_expr(size, size))
+            .withColumn(
+                "_err",
+                F.abs(
+                    F.col("unwrapped")
+                    - (F.col("_true") - F.avg("_true").over(Window.partitionBy("rid")))
+                ),
+            )
+            .agg(F.max("_err").alias("max_err"), F.count("*").alias("px"))
+        )
+
+    best, max_err, px = None, None, None
+    for _ in range(repeats):
+        err = build()
+        t0 = time.time()
+        row = err.collect()[0]
+        wall = time.time() - t0
+        best = wall if best is None else min(best, wall)
+        max_err, px = row["max_err"], row["px"]
+    tiles = (size // TILE) ** 2
+    return {
+        "size": size,
+        "pixels": px,
+        "tiles_per_raster": tiles,
+        "wall_s": round(best, 3),
+        "px_per_s": round(px / best, 1),
+        "max_abs_err": float(f"{max_err:.3e}"),
+    }
+
+
+def main():
+    n_rasters = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    sizes = (
+        [int(s) for s in sys.argv[2].split(",")]
+        if len(sys.argv) > 2
+        else [96, 192, 384, 768]
+    )
+    repeats = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    spark = get_spark("unwrap_scale", cores=32, shuffle_partitions=64)
+    # warm the session (JVM boot + python workers) outside any timed wall
+    run_size(spark, 2, TILE * 2, 1)
+    rows = [run_size(spark, n_rasters, s, repeats) for s in sizes]
+    slopes = [
+        round(
+            (rows[i]["wall_s"] / rows[i - 1]["wall_s"])
+            / (rows[i]["pixels"] / rows[i - 1]["pixels"]),
+            3,
+        )
+        for i in range(1, len(rows))
+    ]
+    print(json.dumps({
+        "what": f"tiled 2-D unwrap at fixed {TILE}px tiles, {n_rasters} rasters",
+        "rows": rows,
+        "slope_vs_linear": slopes,
+        "worst_slope": max(slopes) if slopes else None,
+        "exact_everywhere": all(r["max_abs_err"] < 1e-6 for r in rows),
+    }))
+
+
+if __name__ == "__main__":
+    main()
