@@ -156,6 +156,7 @@ def unwrap_2d_tiled(
     x: str = "x",
     phase: str = "phase",
     out: str = "unwrapped",
+    persist: bool = True,
 ) -> DataFrame:
     """Tiled distributed form (snaphu `--tile` analogue). Three relational
     stages:
@@ -178,6 +179,14 @@ def unwrap_2d_tiled(
         tx, F.floor(F.col(x) / tile).cast("long")
     )
     stage1 = unwrap_2d(tiled, part_cols + [ty, tx], y=y, x=x, phase=phase, out="_phi_t")
+    if persist:
+        # the tile-kernel output feeds four seam strips, the offset solve,
+        # and the final re-join — without materialization the per-tile
+        # unwrap runs ~6x (plan shows 6 FlatMapGroupsInPandas copies; the
+        # exchange below it is ReusedExchange-shared but the kernel above
+        # it is not). Cache lifetime is caller-owned, as with
+        # plans/pipeline.flagship: the returned plan references it.
+        stage1 = stage1.persist()
 
     def _seam(axis_col, other_col, flip_axis_col):
         """Mean per-seam mismatch between tile A and its +1 neighbor along

@@ -112,6 +112,9 @@ def run_size(spark, n_rasters: int, size: int, repeats: int) -> dict:
         wall = time.time() - t0
         best = wall if best is None else min(best, wall)
         max_err, px = row["max_err"], row["px"]
+        # each build() persists its own stage1 (fresh RDD identity, so no
+        # cross-repeat reuse) — drop it so cached blocks don't accumulate
+        spark.catalog.clearCache()
     tiles = (size // TILE) ** 2
     return {
         "size": size,
