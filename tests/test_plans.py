@@ -292,3 +292,37 @@ def test_lsh_topk_multitable_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert "HashAggregate" in plan  # bare id-pair dedup, partial+final
+
+
+def test_unwrap2d_tiled_plan_shape(spark):
+    """The tiled unwrap's scale contract, as caught-and-fixed by
+    scripts/unwrap_scale.py (slope 1.93 -> sub-linear): seam joins must be
+    strip-pre-filtered equi-joins (never a full-pixel-table join with the
+    strip condition inside the predicate), the tile-adjacency constants and
+    per-raster means must broadcast, and the persisted tile kernel must be
+    read back from cache downstream (InMemoryTableScan) instead of
+    re-running per consumer."""
+    from covsar_spark.contract import _uw2_field
+    from covsar_spark.operators.unwrap2d import unwrap_2d_tiled
+
+    field = _uw2_field(spark, "/root/testdata/sf0.001")
+    out = unwrap_2d_tiled(field, ["r_name"], tile=16)
+    try:
+        plan = _plan(out)
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "BroadcastHashJoin" in plan
+        # every stage1 consumer (4 seam strips, the final re-join, the
+        # means side) reads the persisted kernel back as a cache scan —
+        # the kernel fills the cache once instead of re-running per
+        # consumer (pre-persist: ~6 executions, BENCH.md round 7). Note
+        # each InMemoryTableScan PRINTS the cached plan inline, so
+        # counting FlatMapGroupsInPandas text occurrences would be
+        # meaningless here.
+        assert plan.count("InMemoryTableScan") >= 6
+        # strip filters sit above the cache read, BEFORE the seam joins:
+        # only 1-pixel edge strips ever shuffle
+        assert "% 16) = 15)" in plan and "% 16) = 0)" in plan
+    finally:
+        spark.catalog.clearCache()
