@@ -247,6 +247,8 @@ BENCH_QUERIES = [
     "running_product",
     "phase_cumprod",
     "phase_unwrap",
+    "phase_unwrap_2d_tiled",
+    "phase_unwrap_2d_masked",
     "interferogram",
     "mean_lag_coherence",
     "kappa_grid",

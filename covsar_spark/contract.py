@@ -481,6 +481,67 @@ def phase_unwrap_2d_tiled_q(spark, sf_dir):
     )
 
 
+# hole rule for the masked entry: even-even sites only, so no two holes are
+# ever ADJACENT (min separation 2) and every odd row stays complete — the
+# observed region is connected BY CONSTRUCTION, which is exactly the
+# condition under which the weighted LS unwrap is gauge-unique and the
+# closed-form oracle (observed-mean gauge) applies. ~1/12 of pixels drop.
+_UW2_HOLE = (
+    "(y % 2 = 0 AND x % 2 = 0 AND "
+    "(('0x' || substr(md5('uw2m|' || r_name || '|' || y || '|' || x), 1, 10))"
+    "::BIGINT % 3) = 0)"
+)
+
+_UW2_MASKED_ORACLE = f"""
+    WITH g AS (SELECT r_name, unnest(generate_series(0, {_UW2_H - 1})) AS y FROM region),
+    gg AS (SELECT r_name, y, unnest(generate_series(0, {_UW2_W - 1})) AS x FROM g),
+    t AS (SELECT r_name, y, x,
+            ((('0x' || substr(md5('uw2|ax|' || r_name), 1, 10))::BIGINT % 2001 - 1000)
+              / 1000.0) * (2.8 / pi()) * x
+          + ((('0x' || substr(md5('uw2|ay|' || r_name), 1, 10))::BIGINT % 2001 - 1000)
+              / 1000.0) * (2.8 / pi()) * y
+          + ((('0x' || substr(md5('uw2|amp|' || r_name), 1, 10))::BIGINT % 2001 - 1000)
+              / 1000.0) * (3.5 / pi())
+            * sin(x * (2 * pi() / {_UW2_W})) * cos(y * (2 * pi() / {_UW2_H})) AS tp
+          FROM gg
+          WHERE NOT {_UW2_HOLE})
+    SELECT r_name, y, x,
+           round(fmod(fmod(tp + pi(), 2 * pi()) + 2 * pi(), 2 * pi()) - pi(), 6)
+             AS wrapped,
+           round(tp - avg(tp) OVER (PARTITION BY r_name), 3) AS unwrapped
+    FROM t
+    """
+
+
+@register("phase_unwrap_2d_masked", _UW2_MASKED_ORACLE)
+def phase_unwrap_2d_masked_q(spark, sf_dir):
+    """Coherence-masked 2-D unwrap — decorrelated pixels expressed as
+    ABSENT rows (the reference feeds snaphu a coherence file to mask
+    low-coherence pixels; covsar/unwrap.py -c). Weighted LS via
+    Poisson-preconditioned CG on the observed subspace
+    (operators/unwrap2d.py:masked_ls_unwrap_grid). The planted holes sit
+    only on even-even sites, so the observed region is connected by
+    construction and the closed-form observed-mean-gauge oracle is exact
+    (per-component gauge freedom never enters)."""
+    from .operators.unwrap2d import unwrap_2d_masked
+
+    field = _uw2_field(spark, sf_dir)
+    hx = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("|", F.lit("uw2m"), F.col("r_name"), F.col("y"), F.col("x"))),
+            1, 10,
+        ),
+        16, 10,
+    ).cast("bigint")
+    hole = (F.col("y") % 2 == 0) & (F.col("x") % 2 == 0) & (F.pmod(hx, F.lit(3)) == 0)
+    out = unwrap_2d_masked(field.filter(~hole), ["r_name"], tol=1e-12)
+    return out.select(
+        "r_name", "y", "x",
+        F.round("phase", 6).cast("double").alias("wrapped"),
+        F.round("unwrapped", 3).cast("double").alias("unwrapped"),
+    )
+
+
 @register(
     "interferogram",
     f"""
@@ -2548,6 +2609,13 @@ _SUITE_ROWEXPR_3 = {
                      " + coalesce(cast(round(cum_phase * 1000000, 0) as bigint), 0)"
                      " + coalesce(cast(round(cum_re * 1000000, 0) as bigint), 0)"
                      " + coalesce(cast(round(cum_im * 1000000, 0) as bigint), 0)",
+    # demoted latest in round 7 for the masked-unwrap entry: the
+    # single-solve kernel (ls_unwrap_grid) executes inside the in-cap
+    # tiled entry's stage 1 for every tile, so its driver coverage is
+    # indirect-but-real; the checksum keeps its own plan's output pinned
+    "phase_unwrap_2d": "length(r_name) + y + x"
+                       " + cast(round(wrapped * 1000000, 0) as bigint)"
+                       " + cast(round(unwrapped * 1000, 0) as bigint)",
 }
 
 
@@ -2684,6 +2752,11 @@ DRIVER_DEMOTED = [
     # fresh checksum rows via demoted_suite_3.
     "tier_cascade_1h",
     "phase_cumprod",
+    # demoted latest in round 7 for phase_unwrap_2d_masked (the new PCG
+    # path deserves the direct driver row): the single-solve kernel runs
+    # inside the in-cap tiled entry's stage 1 per tile; checksum row in
+    # demoted_suite_3.
+    "phase_unwrap_2d",
 ]
 
 

@@ -95,6 +95,74 @@ def ls_unwrap_grid(psi: np.ndarray) -> np.ndarray:
     return poisson_neumann(_divergence(dx, dy))
 
 
+def masked_ls_unwrap_grid(
+    psi: np.ndarray, w: np.ndarray, tol: float = 1e-10, maxiter: int = 400
+) -> np.ndarray:
+    """WEIGHTED least-squares unwrap (Ghiglia & Romero's weighted form) with
+    0/1 weights: minimize sum w_edge |grad(phi) - W(grad(psi))|^2 where
+    w_edge = w_i * w_j — the snaphu-coherence-mask analogue for rasters
+    with decorrelated holes (`w=0`). Solved by preconditioned conjugate
+    gradient on the OBSERVED subspace with the unweighted FFT Poisson
+    solve as preconditioner (the paper's own recipe): hole entries are
+    projected out of every search direction, so A restricted to the
+    search space is positive-definite up to the constant mode, which the
+    observed-mean-zero projection removes.
+
+    On residue-free fields whose observed region is CONNECTED the true
+    surface satisfies the weighted normal equations exactly, so CG
+    converges to it up to the removed observed-mean (disconnected
+    components each carry an arbitrary constant — caller's concern).
+    Hole pixels are returned as 0.0 (no information; callers flag them).
+    """
+    wx = w[:, :-1] * w[:, 1:]
+    wy = w[:-1, :] * w[1:, :]
+    p0 = np.where(w > 0, psi, 0.0)
+    obs = w > 0
+    if not obs.any():
+        return np.zeros_like(psi)
+
+    def project(v: np.ndarray) -> np.ndarray:
+        v = np.where(obs, v, 0.0)
+        return np.where(obs, v - v[obs].mean(), 0.0)
+
+    # div(grad) is the NEGATIVE-definite Laplacian, so CG solves the
+    # sign-flipped system A phi = b with A = -div(W grad) (PSD on the
+    # observed mean-zero subspace) and preconditioner -poisson (the exact
+    # inverse of A at W = I)
+    def a_op(v: np.ndarray) -> np.ndarray:
+        return -_divergence(wx * np.diff(v, axis=1), wy * np.diff(v, axis=0))
+
+    def precond(v: np.ndarray) -> np.ndarray:
+        return project(-poisson_neumann(v))
+
+    b = project(-_divergence(
+        wx * wrap_np(np.diff(p0, axis=1)), wy * wrap_np(np.diff(p0, axis=0))
+    ))
+    phi = np.zeros_like(psi)
+    r = b.copy()
+    b_norm = np.linalg.norm(b)
+    if b_norm == 0.0:
+        return phi
+    z = precond(r)
+    p = z
+    rz = float((r * z).sum())
+    for _ in range(maxiter):
+        ap = a_op(p)
+        pap = float((p * ap).sum())
+        if pap <= 0.0:
+            break
+        alpha = rz / pap
+        phi = phi + alpha * p
+        r = r - alpha * ap
+        if np.linalg.norm(r) <= tol * b_norm:
+            break
+        z = precond(r)
+        rz_new = float((r * z).sum())
+        p = z + (rz_new / rz) * p
+        rz = rz_new
+    return project(phi)
+
+
 def _out_schema(df: DataFrame, part_cols: list[str], y: str, x: str, phase: str, out: str) -> T.StructType:
     fields = [df.schema[c] for c in part_cols]
     fields += [
@@ -143,6 +211,45 @@ def unwrap_2d(
         res[x] = np.tile(x0 + np.arange(w), h)
         res[phase] = g.ravel()
         res[out] = phi.ravel()
+        return pd.DataFrame(res)
+
+    return df.groupBy(*part_cols).applyInPandas(solve, schema)
+
+
+def unwrap_2d_masked(
+    df: DataFrame,
+    part_cols: list[str],
+    y: str = "y",
+    x: str = "x",
+    phase: str = "phase",
+    out: str = "unwrapped",
+    tol: float = 1e-10,
+) -> DataFrame:
+    """Masked form: rasters with decorrelated holes, expressed relationally
+    as ABSENT rows (the hole mask is simply which (y, x) cells exist —
+    no sentinel values). One weighted-LS PCG solve per partition key;
+    output carries exactly the input's observed cells with `out` in the
+    observed-mean-zero gauge. This is the engine's answer to the
+    coherence-masked snaphu call in the reference (covsar/unwrap.py
+    passes a coherence file; snaphu masks low-coherence pixels)."""
+    schema = _out_schema(df, part_cols, y, x, phase, out)
+
+    def solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        yy = pdf[y].to_numpy(dtype=np.int64)
+        xx = pdf[x].to_numpy(dtype=np.int64)
+        y0, x0 = int(yy.min()), int(xx.min())
+        h = int(yy.max()) - y0 + 1
+        w_ = int(xx.max()) - x0 + 1
+        g = np.zeros((h, w_))
+        m = np.zeros((h, w_))
+        g[yy - y0, xx - x0] = pdf[phase].to_numpy(dtype=np.float64)
+        m[yy - y0, xx - x0] = 1.0
+        phi = masked_ls_unwrap_grid(g, m, tol=tol)
+        res = {c: pdf[c].to_numpy() for c in part_cols}
+        res[y] = yy
+        res[x] = xx
+        res[phase] = pdf[phase].to_numpy(dtype=np.float64)
+        res[out] = phi[yy - y0, xx - x0]
         return pd.DataFrame(res)
 
     return df.groupBy(*part_cols).applyInPandas(solve, schema)
