@@ -120,25 +120,44 @@ def masked_ls_unwrap_grid(
     obs = w > 0
     if not obs.any():
         return np.zeros_like(psi)
+    gx = wx * wrap_np(np.diff(p0, axis=1))
+    gy = wy * wrap_np(np.diff(p0, axis=0))
+    return _weighted_poisson_cg(gx, gy, wx, wy, obs, tol=tol, maxiter=maxiter)
+
+
+def _weighted_poisson_cg(
+    gx: np.ndarray,
+    gy: np.ndarray,
+    wx: np.ndarray,
+    wy: np.ndarray,
+    obs: np.ndarray,
+    tol: float = 1e-10,
+    maxiter: int = 400,
+) -> np.ndarray:
+    """Solve the edge-weighted least-squares problem min sum_edges
+    |grad(phi) - g|^2 over node field phi, given ALREADY-WEIGHTED edge
+    data (gx, gy) and 0/1 edge weights (wx, wy), restricted to `obs`
+    nodes. Shared by the pixel-level masked unwrap (g = weighted wrapped
+    gradients) and the masked tile-graph offset solve (g = weighted seam
+    offsets). div(grad) is the NEGATIVE-definite Laplacian, so CG solves
+    the sign-flipped A phi = b with A = -div(W grad) (PSD on the observed
+    mean-zero subspace) preconditioned by -poisson (exact inverse at
+    W = I, the Ghiglia & Romero recipe); non-observed entries are
+    projected out of every search direction. Output is observed-mean
+    -zero; non-observed entries are 0.0."""
 
     def project(v: np.ndarray) -> np.ndarray:
         v = np.where(obs, v, 0.0)
         return np.where(obs, v - v[obs].mean(), 0.0)
 
-    # div(grad) is the NEGATIVE-definite Laplacian, so CG solves the
-    # sign-flipped system A phi = b with A = -div(W grad) (PSD on the
-    # observed mean-zero subspace) and preconditioner -poisson (the exact
-    # inverse of A at W = I)
     def a_op(v: np.ndarray) -> np.ndarray:
         return -_divergence(wx * np.diff(v, axis=1), wy * np.diff(v, axis=0))
 
     def precond(v: np.ndarray) -> np.ndarray:
         return project(-poisson_neumann(v))
 
-    b = project(-_divergence(
-        wx * wrap_np(np.diff(p0, axis=1)), wy * wrap_np(np.diff(p0, axis=0))
-    ))
-    phi = np.zeros_like(psi)
+    b = project(-_divergence(gx, gy))
+    phi = np.zeros(obs.shape)
     r = b.copy()
     b_norm = np.linalg.norm(b)
     if b_norm == 0.0:
@@ -264,6 +283,7 @@ def unwrap_2d_tiled(
     phase: str = "phase",
     out: str = "unwrapped",
     persist: bool = True,
+    masked: bool = False,
 ) -> DataFrame:
     """Tiled distributed form (snaphu `--tile` analogue). Three relational
     stages:
@@ -280,12 +300,33 @@ def unwrap_2d_tiled(
        re-center per partition.
 
     On residue-free fields this equals `unwrap_2d` exactly (up to the
-    shared mean-zero gauge) — pinned by tests/test_unwrap2d.py."""
+    shared mean-zero gauge) — pinned by tests/test_unwrap2d.py.
+
+    With `masked=True` the same pipeline runs over rasters with
+    decorrelated holes (absent rows): weighted per-tile solves, seam
+    offsets averaged over observed-observed pairs only, and missing seams
+    contributing no constraint to the offset graph (edge weight 0) rather
+    than a spurious zero offset. Assumes each tile's observed region and
+    the tile graph are connected (snaphu tile-mode's own assumption);
+    disconnected components keep per-component gauge freedom."""
     ty, tx = "_ty", "_tx"
     tiled = df.withColumn(ty, F.floor(F.col(y) / tile).cast("long")).withColumn(
         tx, F.floor(F.col(x) / tile).cast("long")
     )
-    stage1 = unwrap_2d(tiled, part_cols + [ty, tx], y=y, x=x, phase=phase, out="_phi_t")
+    if masked:
+        # decorrelated holes = absent rows: per-tile WEIGHTED solves (each
+        # tile's observed region assumed connected — the standard snaphu
+        # tile-mode assumption; a fully-decorrelated tile simply has no
+        # rows and its node drops out of the offset graph), and the seam
+        # strips below are naturally sparse, so seam offsets average only
+        # observed-observed pixel pairs. Seams with zero observed pairs
+        # contribute NO constraint (edge weight 0 in the offset solve),
+        # not a spurious o=0.
+        stage1 = unwrap_2d_masked(
+            tiled, part_cols + [ty, tx], y=y, x=x, phase=phase, out="_phi_t"
+        )
+    else:
+        stage1 = unwrap_2d(tiled, part_cols + [ty, tx], y=y, x=x, phase=phase, out="_phi_t")
     if persist:
         # the tile-kernel output feeds four seam strips, the offset solve,
         # and the final re-join — without materialization the per-tile
@@ -353,16 +394,30 @@ def unwrap_2d_tiled(
         ntx = int(max(pdf["tx_a"].max(), pdf["tx_b"].max()) + 1)
         ox = np.zeros((nty, max(ntx - 1, 1)))
         oy = np.zeros((max(nty - 1, 1), ntx))
+        wxg = np.zeros_like(ox)
+        wyg = np.zeros_like(oy)
+        node = np.zeros((nty, ntx), dtype=bool)
         for r in pdf.itertuples(index=False):
             if r.axis == "x":
                 ox[int(r.ty_a), int(r.tx_a)] = r.o
+                wxg[int(r.ty_a), int(r.tx_a)] = 1.0
             else:
                 oy[int(r.ty_a), int(r.tx_a)] = r.o
+                wyg[int(r.ty_a), int(r.tx_a)] = 1.0
+            node[int(r.ty_a), int(r.tx_a)] = True
+            node[int(r.ty_b), int(r.tx_b)] = True
         if ntx == 1:
             ox = np.zeros((nty, 0))
+            wxg = np.zeros_like(ox)
         if nty == 1:
             oy = np.zeros((0, ntx))
-        c = poisson_neumann(_divergence(ox, oy))
+            wyg = np.zeros_like(oy)
+        if masked:
+            # missing seams carry NO constraint (weight 0), present seams
+            # weight 1; tiles outside the edge graph are projected out
+            c = _weighted_poisson_cg(ox, oy, wxg, wyg, node)
+        else:
+            c = poisson_neumann(_divergence(ox, oy))
         res = {col: np.repeat(pdf[col].iloc[0], nty * ntx) for col in part_cols}
         res[ty] = np.arange(nty, dtype=np.int64).repeat(ntx)
         res[tx] = np.tile(np.arange(ntx, dtype=np.int64), nty)

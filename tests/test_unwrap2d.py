@@ -222,3 +222,36 @@ def test_spark_masked_matches_truth(spark):
         np.testing.assert_allclose(
             g["unwrapped"].to_numpy(), true - true.mean(), atol=1e-8
         )
+
+
+@pytest.mark.parametrize("tile", [16, 48])
+def test_spark_tiled_masked_matches_single_and_truth(spark, tile):
+    """masked=True tiled pipeline == single masked solve == closed form,
+    on never-adjacent holes (per-tile regions and tile graph connected).
+    tile=48 exercises the single-tile degenerate path under masking."""
+    from covsar_spark.operators.unwrap2d import unwrap_2d_masked, unwrap_2d_tiled
+
+    df, pdf = _raster_df(spark, SPECS)
+    rng = np.random.default_rng(7)
+    ee = (pdf["y"].to_numpy() % 2 == 0) & (pdf["x"].to_numpy() % 2 == 0)
+    keep = ~(ee & (rng.random(len(pdf)) < 0.4))
+    pdf_k = pdf[keep]
+    df_k = spark.createDataFrame(pdf_k[["source", "y", "x", "phase"]])
+
+    single = (
+        unwrap_2d_masked(df_k, ["source"], tol=1e-12)
+        .toPandas().sort_values(["source", "y", "x"]).reset_index(drop=True)
+    )
+    tiled = (
+        unwrap_2d_tiled(df_k, ["source"], tile=tile, masked=True)
+        .toPandas().sort_values(["source", "y", "x"]).reset_index(drop=True)
+    )
+    assert len(tiled) == len(pdf_k) == len(single)
+    np.testing.assert_allclose(
+        tiled["unwrapped"].to_numpy(), single["unwrapped"].to_numpy(), atol=1e-8
+    )
+    for name in SPECS:
+        t = pdf_k[pdf_k["source"] == name].sort_values(["y", "x"])
+        true = t["true"].to_numpy()
+        got = tiled[tiled["source"] == name]["unwrapped"].to_numpy()
+        np.testing.assert_allclose(got, true - true.mean(), atol=1e-8)
