@@ -266,3 +266,54 @@ def test_y4m_roundtrip_any_geometry(half_w, n_frames, seed):
     lum = decode_y4m(payload)
     want = np.concatenate([f[: w * h] for f in frames])
     np.testing.assert_array_equal((lum * 255).astype(np.uint8), want)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=8, max_value=40),
+    st.integers(min_value=8, max_value=40),
+    st.floats(min_value=-0.9, max_value=0.9),
+    st.floats(min_value=-0.9, max_value=0.9),
+    st.floats(min_value=0.0, max_value=1.2),
+)
+def test_unwrap2d_recovers_any_residue_free_surface(h, w, ax, ay, amp):
+    """ANY ramp+sinusoid surface with gradients < pi is residue-free, so
+    the LS unwrap must recover it exactly up to the mean-zero gauge
+    (|ramp| <= 0.9 and sinusoid slope 2*pi*amp/min(h,w) <= 0.95 keep every
+    wrapped gradient identifiable)."""
+    import math
+
+    from covsar_spark.operators.unwrap2d import ls_unwrap_grid, wrap_np
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    true = ax * xx + ay * yy + amp * np.sin(2 * math.pi * xx / w) * np.cos(
+        2 * math.pi * yy / h
+    )
+    got = ls_unwrap_grid(wrap_np(true))
+    np.testing.assert_allclose(got, true - true.mean(), atol=1e-7)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(min_value=8, max_value=32),
+    st.integers(min_value=8, max_value=32),
+    st.floats(min_value=-0.9, max_value=0.9),
+    st.floats(min_value=-0.9, max_value=0.9),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+def test_unwrap2d_masked_recovers_with_never_adjacent_holes(h, w, ax, ay, seed):
+    """Same exactness under 0/1 weights with holes restricted to even-even
+    sites (never adjacent -> observed region connected for ANY hole draw),
+    in the observed-mean gauge."""
+    from covsar_spark.operators.unwrap2d import masked_ls_unwrap_grid, wrap_np
+
+    yy, xx = np.mgrid[0:h, 0:w]
+    true = ax * xx + ay * yy
+    rng = np.random.default_rng(seed)
+    m = np.ones((h, w))
+    ee = np.zeros((h, w), dtype=bool)
+    ee[::2, ::2] = True
+    m[ee & (rng.random((h, w)) < 0.5)] = 0.0
+    obs = m > 0
+    phi = masked_ls_unwrap_grid(wrap_np(true), m, tol=1e-12)
+    np.testing.assert_allclose(phi[obs], true[obs] - true[obs].mean(), atol=1e-7)
