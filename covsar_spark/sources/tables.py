@@ -86,3 +86,96 @@ def read_tier(spark: SparkSession, path: str, lo_epoch: int | None = None, hi_ep
     if hi_epoch is not None:
         df = df.filter((F.col("day") <= _utc_day_lit(hi_epoch)) & (F.col("epoch_s") <= hi_epoch))
     return df.drop("day")
+
+
+def apply_retention(
+    spark: SparkSession,
+    path: str,
+    older_than_epoch: int,
+    table: str | None = None,
+    dry_run: bool = False,
+) -> dict:
+    """Retention enforcement for one tier table (the continuous-aggregate
+    `drop_chunks` analogue the reference's ever-growing epoch directories
+    never had, covsar/closure_inten.py:68-78): drop every `day=` partition
+    whose ENTIRE day lies strictly before `older_than_epoch`. Partition
+    granularity means no row-level rewrite — a day directory is removed
+    whole through the Hadoop FileSystem API (works for file://, hdfs://,
+    s3a:// alike), and only `day=YYYY-MM-DD`-named children are ever
+    touched. Idempotent; re-running returns an empty drop list.
+
+    Returns a metrics dict {dropped_days, kept_days, cutoff_day, bytes_dropped}
+    and, unless dry_run, writes it (plus the dropped names) to
+    `_retention/<cutoff_day>.json` inside the table dir — the audit-trail
+    sibling of the checkpoint lineage manifests (plans/checkpoint.py).
+
+    With `table` set and Iceberg jars present, also issues the catalog-side
+    `DELETE WHERE day < cutoff` so snapshot readers see the same horizon.
+    """
+    import json as _json
+    from datetime import date, timedelta
+
+    cutoff_day = int(older_than_epoch) // 86400
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    dropped, kept, bytes_dropped = [], [], 0
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("day=")):
+            continue
+        try:
+            d = date.fromisoformat(name[4:])
+        except ValueError:
+            kept.append(name)
+            continue
+        day_index = (d - date(1970, 1, 1)).days
+        # drop only days that END before the cutoff instant
+        if (day_index + 1) * 86400 <= older_than_epoch:
+            bytes_dropped += fs.getContentSummary(st.getPath()).getLength()
+            dropped.append(name)
+            if not dry_run:
+                fs.delete(st.getPath(), True)
+        else:
+            kept.append(name)
+    if table is not None and _has_iceberg(spark) and not dry_run:  # pragma: no cover
+        spark.sql(
+            f"DELETE FROM {table} WHERE day < date_from_unix_date({cutoff_day})"
+        )
+    metrics = {
+        "cutoff_day": (date(1970, 1, 1) + timedelta(days=cutoff_day)).isoformat(),
+        "dropped_days": len(dropped),
+        "kept_days": len(kept),
+        "bytes_dropped": int(bytes_dropped),
+    }
+    if dropped and not dry_run:
+        man_dir = jvm.org.apache.hadoop.fs.Path(path, "_retention")
+        fs.mkdirs(man_dir)
+        man = jvm.org.apache.hadoop.fs.Path(man_dir, f"{metrics['cutoff_day']}.json")
+        out = fs.create(man, True)
+        out.write(bytearray(_json.dumps({**metrics, "dropped": sorted(dropped)}).encode()))
+        out.close()
+    return {**metrics, "dropped": sorted(dropped)}
+
+
+def apply_retention_policy(
+    spark: SparkSession,
+    tier_paths: dict[str, str],
+    horizons_s: dict[str, int | None],
+    now_epoch: int,
+    dry_run: bool = False,
+) -> dict[str, dict]:
+    """Per-tier retention policy: fine tiers keep short horizons, coarse
+    tiers long ones (the retention half of a continuous-aggregate stack —
+    e.g. {'1m': 7d, '1h': 90d, '1d': None}). `None` = keep forever. Returns
+    per-tier apply_retention metrics keyed by tier name."""
+    results: dict[str, dict] = {}
+    for tier, path in tier_paths.items():
+        horizon = horizons_s.get(tier)
+        if horizon is None:
+            results[tier] = {"skipped": "no horizon"}
+            continue
+        results[tier] = apply_retention(
+            spark, path, now_epoch - int(horizon), dry_run=dry_run
+        )
+    return results

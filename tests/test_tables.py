@@ -62,3 +62,70 @@ def test_write_tier_iceberg_catalog_commit(spark, tiny_cols):
     # day partitioning survived the catalog round-trip
     assert "day" in spark.table(table).columns
     spark.sql(f"DROP TABLE {table}")
+
+
+def test_apply_retention_drops_only_fully_elapsed_days(spark, tiny_cols, tmp_path):
+    import json
+    import os
+
+    from covsar_spark.sources.tables import apply_retention
+
+    roll = rollup_tokens(with_event_time(cols_to_spark(spark, tiny_cols)), "1h")
+    path = str(tmp_path / "tier_1h")
+    write_tier(roll, path, "1h")
+    orig = roll.toPandas()
+    days = sorted(d for d in os.listdir(path) if d.startswith("day="))
+    assert len(days) >= 3, "fixture must span several day partitions"
+
+    # cutoff mid-way through the SECOND day: only day 0 has fully elapsed
+    day1 = int(orig["epoch_s"].min()) // 86400
+    cutoff = (day1 + 1) * 86400 + 3600
+    m = apply_retention(spark, path, cutoff)
+    assert m["dropped"] == [days[0]]
+    assert m["kept_days"] == len(days) - 1
+    assert m["bytes_dropped"] > 0
+    left = sorted(d for d in os.listdir(path) if d.startswith("day="))
+    assert left == days[1:]
+
+    # surviving rows = exactly those at or past the dropped day's end
+    back = read_tier(spark, path).toPandas()
+    exp = orig[orig["epoch_s"] >= (day1 + 1) * 86400]
+    assert len(back) == len(exp)
+
+    # audit manifest written, and invisible to the parquet reader
+    man = os.path.join(path, "_retention", f"{m['cutoff_day']}.json")
+    assert json.load(open(man))["dropped"] == [days[0]]
+
+    # idempotent
+    m2 = apply_retention(spark, path, cutoff)
+    assert m2["dropped"] == [] and m2["kept_days"] == len(days) - 1
+
+
+def test_apply_retention_dry_run_and_policy(spark, tiny_cols, tmp_path):
+    import os
+
+    from covsar_spark.sources.tables import apply_retention, apply_retention_policy
+
+    roll = rollup_tokens(with_event_time(cols_to_spark(spark, tiny_cols)), "1h")
+    p1 = str(tmp_path / "t1m")
+    p2 = str(tmp_path / "t1d")
+    write_tier(roll, p1, "1h")
+    write_tier(roll, p2, "1h")
+    days = sorted(d for d in os.listdir(p1) if d.startswith("day="))
+    orig = roll.toPandas()
+    day1 = int(orig["epoch_s"].min()) // 86400
+    cutoff = (day1 + 2) * 86400
+
+    dry = apply_retention(spark, p1, cutoff, dry_run=True)
+    assert len(dry["dropped"]) == 2
+    assert sorted(d for d in os.listdir(p1) if d.startswith("day=")) == days
+
+    res = apply_retention_policy(
+        spark,
+        {"1m": p1, "1d": p2},
+        {"1m": 0, "1d": None},  # 1m: everything before "now" elapses; 1d: keep forever
+        now_epoch=cutoff,
+    )
+    assert res["1d"] == {"skipped": "no horizon"}
+    assert res["1m"]["dropped"] == dry["dropped"]
+    assert sorted(d for d in os.listdir(p2) if d.startswith("day=")) == days
