@@ -179,3 +179,68 @@ def apply_retention_policy(
             spark, path, now_epoch - int(horizon), dry_run=dry_run
         )
     return results
+
+
+def compact_tier(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files: int = 2,
+) -> dict:
+    """Small-file compaction per day partition — the maintenance sibling of
+    `apply_retention` (Iceberg's rewrite_data_files / OPTIMIZE analogue).
+    Streaming appends and per-batch dynamic-partition overwrites leave each
+    day with one parquet file per micro-batch; at 10^12 sequences that is
+    file-count death for the scan planner. For every `day=` partition whose
+    parquet file count is >= `min_files` AND whose average file size is
+    under half the target, rewrite JUST that partition with
+    ceil(bytes / target) files via a dynamic partition overwrite (other
+    days untouched, readers of other days unaffected; sortWithinPartitions
+    restores the (source, epoch_s) min/max stats `write_tier` guarantees).
+
+    Returns {compacted_days, files_before, files_after, bytes}; idempotent —
+    a compacted day fails the trigger on the next run.
+    """
+    import math as _m
+
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+    todo: list[tuple[str, int, int]] = []
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("day=")):
+            continue
+        files = [
+            f for f in fs.listStatus(st.getPath())
+            if f.isFile() and f.getPath().getName().endswith(".parquet")
+        ]
+        nbytes = sum(f.getLen() for f in files)
+        if len(files) >= min_files and nbytes / max(len(files), 1) < target_file_bytes / 2:
+            todo.append((name, len(files), nbytes))
+    files_before = sum(n for _, n, _ in todo)
+    files_after = 0
+    total_bytes = 0
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        for name, _, nbytes in todo:
+            n_out = max(1, _m.ceil(nbytes / target_file_bytes))
+            files_after += n_out
+            total_bytes += nbytes
+            day_df = spark.read.parquet(path).filter(F.col("day") == name[4:])
+            (
+                day_df.repartition(n_out)
+                .sortWithinPartitions("source", "epoch_s")
+                .write.mode("overwrite")
+                .partitionBy("day")
+                .parquet(path)
+            )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    return {
+        "compacted_days": [n for n, _, _ in todo],
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes": int(total_bytes),
+    }

@@ -129,3 +129,48 @@ def test_apply_retention_dry_run_and_policy(spark, tiny_cols, tmp_path):
     assert res["1d"] == {"skipped": "no horizon"}
     assert res["1m"]["dropped"] == dry["dropped"]
     assert sorted(d for d in os.listdir(p2) if d.startswith("day=")) == days
+
+
+def test_compact_tier_merges_small_files_preserving_rows(spark, tiny_cols, tmp_path):
+    import os
+
+    from covsar_spark.sources.tables import compact_tier
+
+    roll = rollup_tokens(with_event_time(cols_to_spark(spark, tiny_cols)), "1h")
+    path = str(tmp_path / "tier_1h")
+    write_tier(roll, path, "1h")
+    # simulate streaming appends: several tiny per-batch files per day
+    for i in range(3):
+        write_tier(roll.limit(40 + i), path, "1h", mode="append")
+
+    def day_files():
+        return {
+            d: sorted(
+                f for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")
+            )
+            for d in os.listdir(path)
+            if d.startswith("day=")
+        }
+
+    before_rows = (
+        read_tier(spark, path).toPandas().sort_values(["source", "epoch_s"]).reset_index(drop=True)
+    )
+    before_files = day_files()
+    assert all(len(fs) >= 4 for fs in before_files.values())
+
+    m = compact_tier(spark, path, target_file_bytes=64 * 1024 * 1024)
+    assert sorted(m["compacted_days"]) == sorted(before_files)
+    assert m["files_before"] == sum(len(fs) for fs in before_files.values())
+
+    after_files = day_files()
+    assert all(len(fs) == 1 for fs in after_files.values())
+    after_rows = (
+        read_tier(spark, path).toPandas().sort_values(["source", "epoch_s"]).reset_index(drop=True)
+    )
+    # exact multiset preservation, duplicates from the appends included
+    assert len(after_rows) == len(before_rows)
+    assert (after_rows["token_count"].to_numpy() == before_rows["token_count"].to_numpy()).all()
+    assert (after_rows["epoch_s"].to_numpy() == before_rows["epoch_s"].to_numpy()).all()
+
+    # idempotent: single healthy file per day fails the trigger
+    assert compact_tier(spark, path, target_file_bytes=64 * 1024 * 1024)["compacted_days"] == []
