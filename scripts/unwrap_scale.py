@@ -64,7 +64,7 @@ def _true_expr(h: int, w: int):
     )
 
 
-def field(spark, n_rasters: int, h: int, w: int):
+def field(spark, n_rasters: int, h: int, w: int, masked: bool = False):
     from covsar_spark.functions.complexmath import wrap_phase
 
     rid = spark.range(n_rasters).select(
@@ -75,6 +75,18 @@ def field(spark, n_rasters: int, h: int, w: int):
     ).select(
         "rid", "y", F.explode(F.sequence(F.lit(0), F.lit(w - 1))).alias("x")
     )
+    if masked:
+        # never-adjacent holes (even-even sites, md5-drawn) — the contract
+        # rule at study scale: observed region connected by construction
+        hx = F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit("uws-m"), F.col("rid"), F.col("y"), F.col("x"))),
+                1, 10,
+            ),
+            16, 10,
+        ).cast("bigint")
+        hole = (F.col("y") % 2 == 0) & (F.col("x") % 2 == 0) & (F.pmod(hx, F.lit(3)) == 0)
+        grid = grid.filter(~hole)
     return grid.select(
         "rid",
         F.col("y").cast("long").alias("y"),
@@ -83,13 +95,13 @@ def field(spark, n_rasters: int, h: int, w: int):
     )
 
 
-def run_size(spark, n_rasters: int, size: int, repeats: int) -> dict:
+def run_size(spark, n_rasters: int, size: int, repeats: int, masked: bool = False) -> dict:
     def build():
         # rebuilt FRESH per repeat: repeated actions on one DataFrame reuse
         # the prior job's shuffle outputs (skipped stages), which would let
         # best-of-N pick a nearly-free re-read instead of a real run
-        df = field(spark, n_rasters, size, size)
-        out = unwrap_2d_tiled(df, ["rid"], tile=TILE)
+        df = field(spark, n_rasters, size, size, masked=masked)
+        out = unwrap_2d_tiled(df, ["rid"], tile=TILE, masked=masked)
         # truth recomputed from (rid, y, x) on the solver's output; the
         # solver emits the mean-zero gauge, so compare mean-centered truth
         return (
@@ -127,17 +139,19 @@ def run_size(spark, n_rasters: int, size: int, repeats: int) -> dict:
 
 
 def main():
-    n_rasters = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    masked = "--masked" in sys.argv
+    argv = [a for a in sys.argv if a != "--masked"]
+    n_rasters = int(argv[1]) if len(argv) > 1 else 8
     sizes = (
-        [int(s) for s in sys.argv[2].split(",")]
-        if len(sys.argv) > 2
+        [int(s) for s in argv[2].split(",")]
+        if len(argv) > 2
         else [96, 192, 384, 768]
     )
-    repeats = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    repeats = int(argv[3]) if len(argv) > 3 else 2
     spark = get_spark("unwrap_scale", cores=32, shuffle_partitions=64)
     # warm the session (JVM boot + python workers) outside any timed wall
-    run_size(spark, 2, TILE * 2, 1)
-    rows = [run_size(spark, n_rasters, s, repeats) for s in sizes]
+    run_size(spark, 2, TILE * 2, 1, masked=masked)
+    rows = [run_size(spark, n_rasters, s, repeats, masked=masked) for s in sizes]
     slopes = [
         round(
             (rows[i]["wall_s"] / rows[i - 1]["wall_s"])
@@ -147,7 +161,8 @@ def main():
         for i in range(1, len(rows))
     ]
     print(json.dumps({
-        "what": f"tiled 2-D unwrap at fixed {TILE}px tiles, {n_rasters} rasters",
+        "what": f"tiled 2-D unwrap at fixed {TILE}px tiles, {n_rasters} rasters"
+                + (" (masked: ~1/12 never-adjacent holes, weighted solves)" if masked else ""),
         "rows": rows,
         "slope_vs_linear": slopes,
         "worst_slope": max(slopes) if slopes else None,
