@@ -255,3 +255,29 @@ def test_spark_tiled_masked_matches_single_and_truth(spark, tile):
         true = t["true"].to_numpy()
         got = tiled[tiled["source"] == name]["unwrapped"].to_numpy()
         np.testing.assert_allclose(got, true - true.mean(), atol=1e-8)
+
+
+def test_masked_serpentine_corridor_converges_or_raises():
+    """A width-1 serpentine corridor is the Poisson preconditioner's worst
+    case (path graph, condition ~ length^2). With the default
+    finite-termination iteration cap the solve must still be exact; with a
+    deliberately starved cap it must RAISE rather than return a
+    plausible-but-wrong surface (measured 1.9e-3 silent error before the
+    guard)."""
+    from covsar_spark.operators.unwrap2d import masked_ls_unwrap_grid
+
+    h, w = 48, 48
+    yy, xx = np.mgrid[0:h, 0:w]
+    true = 0.5 * xx + 0.3 * yy
+    psi = wrap_np(true)
+    m = np.zeros((h, w))
+    m[::2, :] = 1.0
+    for i in range(1, h, 2):
+        m[i, w - 1 if (i // 2) % 2 == 0 else 0] = 1.0
+    obs = m > 0
+
+    phi = masked_ls_unwrap_grid(psi, m, tol=1e-12)
+    np.testing.assert_allclose(phi[obs], true[obs] - true[obs].mean(), atol=1e-8)
+
+    with pytest.raises(ValueError, match="did not converge"):
+        masked_ls_unwrap_grid(psi, m, tol=1e-12, maxiter=100)
