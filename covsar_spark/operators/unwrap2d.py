@@ -457,3 +457,76 @@ def unwrap_2d_tiled(
         .withColumn(out, F.col("_raw") - F.col("_mu"))
         .select(*part_cols, y, x, phase, out)
     )
+
+
+def residues(
+    df: DataFrame,
+    part_cols: list[str],
+    y: str = "y",
+    x: str = "x",
+    phase: str = "phase",
+) -> DataFrame:
+    """Residue map — the classic interferometric quality diagnostic (snaphu
+    computes these to route its MCF solver; LS unwrapping is exact iff the
+    count is zero). For every 2x2 plaquette, the closed loop of wrapped
+    gradients sums to 2*pi*charge with charge in {-1, 0, +1}; emitted per
+    plaquette (top-left corner coords) with nonzero charge only.
+
+    Pure codegen: three explicit-key equi-joins on the (+1) shifted
+    coordinates (same shape as the seam joins above — never a full
+    cartesian), wrap algebra inline, no Python. Aggregate with
+    `residue_counts` for the per-raster summary."""
+    a = df.select(
+        *part_cols,
+        F.col(y).alias("_y"),
+        F.col(x).alias("_x"),
+        F.col(phase).alias("_p00"),
+    )
+
+    def shifted(dy: int, dx: int, out: str):
+        return df.select(
+            *[F.col(c).alias(f"_{out}_{c}") for c in part_cols],
+            (F.col(y) - dy).alias(f"_{out}_y"),
+            (F.col(x) - dx).alias(f"_{out}_x"),
+            F.col(phase).alias(out),
+        )
+
+    j = a
+    for dy, dx, out in ((0, 1, "_p01"), (1, 0, "_p10"), (1, 1, "_p11")):
+        s = shifted(dy, dx, out)
+        cond = (F.col("_y") == F.col(f"_{out}_y")) & (F.col("_x") == F.col(f"_{out}_x"))
+        for c in part_cols:
+            cond = cond & (F.col(c) == F.col(f"_{out}_{c}"))
+        j = j.join(s, cond)
+    loop = (
+        wrap_phase(F.col("_p01") - F.col("_p00"))
+        + wrap_phase(F.col("_p11") - F.col("_p01"))
+        - wrap_phase(F.col("_p11") - F.col("_p10"))
+        - wrap_phase(F.col("_p10") - F.col("_p00"))
+    )
+    return (
+        j.select(
+            *part_cols,
+            F.col("_y").alias(y),
+            F.col("_x").alias(x),
+            F.round(loop / (2.0 * math.pi)).cast("int").alias("charge"),
+        )
+        .filter(F.col("charge") != 0)
+    )
+
+
+def residue_counts(
+    df: DataFrame,
+    part_cols: list[str],
+    y: str = "y",
+    x: str = "x",
+    phase: str = "phase",
+) -> DataFrame:
+    """Per-raster residue summary: positive/negative counts (they balance on
+    interior-closed fields) — zero means `unwrap_2d`'s LS recovery is exact,
+    nonzero means L2-optimal-estimate territory."""
+    r = residues(df, part_cols, y=y, x=x, phase=phase)
+    return r.groupBy(*part_cols).agg(
+        F.count(F.when(F.col("charge") > 0, 1)).alias("n_pos"),
+        F.count(F.when(F.col("charge") < 0, 1)).alias("n_neg"),
+    )

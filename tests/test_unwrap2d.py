@@ -281,3 +281,45 @@ def test_masked_serpentine_corridor_converges_or_raises():
 
     with pytest.raises(ValueError, match="did not converge"):
         masked_ls_unwrap_grid(psi, m, tol=1e-12, maxiter=100)
+
+
+def _np_residues(psi: np.ndarray) -> np.ndarray:
+    """Loop-free numpy plaquette oracle for the Spark residue operator."""
+    d01 = wrap_np(psi[:, 1:] - psi[:, :-1])     # (h, w-1)
+    d10 = wrap_np(psi[1:, :] - psi[:-1, :])     # (h-1, w)
+    loop = d01[:-1, :] + d10[:, 1:] - d01[1:, :] - d10[:, :-1]
+    return np.rint(loop / (2 * math.pi)).astype(int)
+
+
+def test_residues_zero_on_residue_free_and_pm1_on_vortex(spark):
+    from covsar_spark.operators.unwrap2d import residue_counts, residues
+
+    h, w = 32, 32
+    yy, xx = np.mgrid[0:h, 0:w]
+    smooth = 0.7 * xx - 0.4 * yy
+    vortex = smooth + np.arctan2(yy - 15.5, xx - 15.5)
+    rows = []
+    for name, true in (("flat", smooth), ("vort", vortex)):
+        psi = wrap_np(true)
+        for i in range(h):
+            for j in range(w):
+                rows.append((name, i, j, float(psi[i, j])))
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["source", "y", "x", "phase"])
+    )
+    got = residues(df, ["source"]).toPandas()
+    assert (got["source"] == "vort").all(), "residue-free raster must emit nothing"
+
+    # charge map parity with the numpy plaquette oracle, coords included
+    exp = _np_residues(wrap_np(vortex))
+    nz = np.argwhere(exp != 0)
+    got_v = got.sort_values(["y", "x"]).reset_index(drop=True)
+    assert len(got_v) == len(nz)
+    for (ey, ex), (_, r) in zip(nz.tolist(), got_v.iterrows()):
+        assert (r["y"], r["x"], r["charge"]) == (ey, ex, exp[ey, ex])
+
+    counts = residue_counts(df, ["source"]).toPandas()
+    assert set(counts["source"]) == {"vort"}
+    row = counts.iloc[0]
+    assert row["n_pos"] + row["n_neg"] == len(nz)
+    assert row["n_pos"] - row["n_neg"] == exp.sum()
