@@ -326,3 +326,17 @@ def test_unwrap2d_tiled_plan_shape(spark):
         assert "% 16) = 15)" in plan and "% 16) = 0)" in plan
     finally:
         spark.catalog.clearCache()
+
+
+def test_phase_residues_plan_shape(spark):
+    """Residue counting must stay three broadcast equi-joins on shifted
+    coordinates + partial/final aggregation — never a cartesian or
+    nested-loop expansion of the pixel grid."""
+    from covsar_spark.contract import QUERIES
+
+    plan = _plan(QUERIES["phase_residues"](spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") == 3
+    assert "HashAggregate" in plan
