@@ -583,8 +583,11 @@ def phase_residues_q(spark, sf_dir):
     vortex per raster (atan2 term, md5-derived off-lattice center) on top
     of a gentle ramp, so nonzero charges exist by construction and the
     DuckDB oracle replays the identical plaquette algebra from the closed
-    form. Pure codegen on the Spark side: three explicit-key equi-joins,
-    no Python."""
+    form. Runs the TILED plaquette pass (round-8: one explode + one
+    grouped-map, 1-pixel halos, no pixel self-joins — the raster-scale
+    plan; the relational `residues` form stays as the small-raster path,
+    parity-pinned by tests/test_unwrap2d.py). 16px tiles over the 48x48
+    rasters -> a 3x3 tile graph per raster."""
     from .functions.complexmath import wrap_phase
     from .operators.unwrap2d import residue_counts
 
@@ -625,7 +628,7 @@ def phase_residues_q(spark, sf_dir):
         F.col("x").cast("long").alias("x"),
         wrap_phase(true).alias("phase"),
     )
-    return residue_counts(field, ["r_name"]).select(
+    return residue_counts(field, ["r_name"], tile=16).select(
         "r_name",
         F.col("n_pos").cast("long").alias("n_pos"),
         F.col("n_neg").cast("long").alias("n_neg"),

@@ -361,7 +361,10 @@ def unwrap_2d_tiled(
         with the strip condition inside the join predicate instead reads
         superlinear past ~100 tiles/raster; measured by
         scripts/unwrap_scale.py)."""
-        a = stage1.filter(F.col(axis_col) % tile == tile - 1).select(
+        # pmod, not %: Java % returns negative remainders for the negative
+        # coordinates an arbitrary-origin raster produces, so the edge
+        # strips would silently come up empty below y/x = 0
+        a = stage1.filter(F.pmod(F.col(axis_col), F.lit(tile)) == tile - 1).select(
             *part_cols,
             F.col(other_col).alias("_k"),
             (F.col(axis_col) + 1).alias("_j"),
@@ -370,9 +373,10 @@ def unwrap_2d_tiled(
             F.col(ty).alias("ty_a"),
             F.col(tx).alias("tx_a"),
         )
-        b = stage1.filter(
-            (F.col(axis_col) % tile == 0) & (F.col(axis_col) > 0)
-        ).select(
+        # no `axis > 0` guard: with arbitrary origins the global edge is
+        # not at 0; a first-row strip with no left/up neighbor simply
+        # finds no partner in the inner join
+        b = stage1.filter(F.pmod(F.col(axis_col), F.lit(tile)) == 0).select(
             *[F.col(c).alias(f"_b_{c}") for c in part_cols],
             F.col(other_col).alias("_bk"),
             F.col(axis_col).alias("_bj"),
@@ -406,22 +410,30 @@ def unwrap_2d_tiled(
     ]
 
     def solve_offsets(pdf: pd.DataFrame) -> pd.DataFrame:
-        nty = int(max(pdf["ty_a"].max(), pdf["ty_b"].max()) + 1)
-        ntx = int(max(pdf["tx_a"].max(), pdf["tx_b"].max()) + 1)
+        # normalize tile ids by their per-raster minimum: a raster whose
+        # (y, x) origin is negative yields negative floor-division tile
+        # ids, which would otherwise wrap via numpy negative indexing into
+        # the WRONG grid cells (round-7 advice). unwrap_2d itself already
+        # handles arbitrary origins via y0/x0.
+        ty0 = int(min(pdf["ty_a"].min(), pdf["ty_b"].min()))
+        tx0 = int(min(pdf["tx_a"].min(), pdf["tx_b"].min()))
+        nty = int(max(pdf["ty_a"].max(), pdf["ty_b"].max()) + 1 - ty0)
+        ntx = int(max(pdf["tx_a"].max(), pdf["tx_b"].max()) + 1 - tx0)
         ox = np.zeros((nty, max(ntx - 1, 1)))
         oy = np.zeros((max(nty - 1, 1), ntx))
         wxg = np.zeros_like(ox)
         wyg = np.zeros_like(oy)
         node = np.zeros((nty, ntx), dtype=bool)
         for r in pdf.itertuples(index=False):
+            ia, ja = int(r.ty_a) - ty0, int(r.tx_a) - tx0
             if r.axis == "x":
-                ox[int(r.ty_a), int(r.tx_a)] = r.o
-                wxg[int(r.ty_a), int(r.tx_a)] = 1.0
+                ox[ia, ja] = r.o
+                wxg[ia, ja] = 1.0
             else:
-                oy[int(r.ty_a), int(r.tx_a)] = r.o
-                wyg[int(r.ty_a), int(r.tx_a)] = 1.0
-            node[int(r.ty_a), int(r.tx_a)] = True
-            node[int(r.ty_b), int(r.tx_b)] = True
+                oy[ia, ja] = r.o
+                wyg[ia, ja] = 1.0
+            node[ia, ja] = True
+            node[int(r.ty_b) - ty0, int(r.tx_b) - tx0] = True
         if ntx == 1:
             ox = np.zeros((nty, 0))
             wxg = np.zeros_like(ox)
@@ -435,8 +447,8 @@ def unwrap_2d_tiled(
         else:
             c = poisson_neumann(_divergence(ox, oy))
         res = {col: np.repeat(pdf[col].iloc[0], nty * ntx) for col in part_cols}
-        res[ty] = np.arange(nty, dtype=np.int64).repeat(ntx)
-        res[tx] = np.tile(np.arange(ntx, dtype=np.int64), nty)
+        res[ty] = (ty0 + np.arange(nty, dtype=np.int64)).repeat(ntx)
+        res[tx] = np.tile(tx0 + np.arange(ntx, dtype=np.int64), nty)
         res["_c"] = c.ravel()
         return pd.DataFrame(res)
 
@@ -515,17 +527,116 @@ def residues(
     )
 
 
+def residues_tiled(
+    df: DataFrame,
+    part_cols: list[str],
+    tile: int,
+    y: str = "y",
+    x: str = "x",
+    phase: str = "phase",
+) -> DataFrame:
+    """Tiled residue map — the raster-scale form of `residues` (round-7
+    verdict: at a 1e5 x 1e5 raster the relational form's three shifted
+    self-joins are 3 sort-merge joins + 4 scans of the biggest table in the
+    system). Here each pixel routes to its home tile plus up to three
+    1-pixel-halo copies (a pixel on a tile's first row/column also serves
+    the plaquettes anchored in the previous tile), so ONE explode + ONE
+    grouped-map pass computes every plaquette — same state bound as the
+    tile unwrap (a TILE x TILE block), one shuffle, zero pixel self-joins.
+    Duplication factor 1 + 2/tile + 1/tile^2. Charges match `residues`
+    exactly (pinned by tests); rasters need not be hole-free — a plaquette
+    with any absent corner is skipped, as in the relational form's inner
+    joins."""
+    tyc = F.floor(F.col(y) / tile).cast("long")
+    txc = F.floor(F.col(x) / tile).cast("long")
+    on_ty = F.pmod(F.col(y), F.lit(tile)) == 0
+    on_tx = F.pmod(F.col(x), F.lit(tile)) == 0
+
+    def _cand(dty: int, dtx: int, keep) -> F.Column:
+        return F.struct(
+            (tyc + dty).alias("_rty"), (txc + dtx).alias("_rtx"), keep.alias("_keep")
+        )
+
+    routed = (
+        df.select(
+            *part_cols,
+            F.col(y).cast("long").alias(y),
+            F.col(x).cast("long").alias(x),
+            F.col(phase).alias(phase),
+            F.explode(
+                F.filter(
+                    F.array(
+                        _cand(0, 0, F.lit(True)),
+                        _cand(-1, 0, on_ty),
+                        _cand(0, -1, on_tx),
+                        _cand(-1, -1, on_ty & on_tx),
+                    ),
+                    lambda s: s["_keep"],
+                )
+            ).alias("_t"),
+        )
+        .select(*part_cols, y, x, phase, "_t._rty", "_t._rtx")
+    )
+
+    out_fields = [df.schema[c] for c in part_cols] + [
+        T.StructField(y, T.LongType(), False),
+        T.StructField(x, T.LongType(), False),
+        T.StructField("charge", T.IntegerType(), False),
+    ]
+
+    def kernel(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        rty, rtx = int(key[-2]), int(key[-1])
+        yy = pdf[y].to_numpy(dtype=np.int64)
+        xx = pdf[x].to_numpy(dtype=np.int64)
+        y0, x0 = int(yy.min()), int(xx.min())
+        h = int(yy.max()) - y0 + 1
+        w = int(xx.max()) - x0 + 1
+        g = np.zeros((h, w))
+        m = np.zeros((h, w), dtype=bool)
+        g[yy - y0, xx - x0] = pdf[phase].to_numpy(dtype=np.float64)
+        m[yy - y0, xx - x0] = True
+        loop = (
+            wrap_np(g[:-1, 1:] - g[:-1, :-1])
+            + wrap_np(g[1:, 1:] - g[:-1, 1:])
+            - wrap_np(g[1:, 1:] - g[1:, :-1])
+            - wrap_np(g[1:, :-1] - g[:-1, :-1])
+        )
+        charge = np.rint(loop / (2.0 * math.pi)).astype(np.int32)
+        valid = m[:-1, :-1] & m[:-1, 1:] & m[1:, :-1] & m[1:, 1:]
+        ai, aj = np.nonzero(valid & (charge != 0))
+        ay, ax_ = y0 + ai, x0 + aj
+        # halo copies compute the same plaquette in two tiles; only the
+        # anchor's HOME tile emits it
+        home = (ay // tile == rty) & (ax_ // tile == rtx)
+        ay, ax_ = ay[home], ax_[home]
+        res = {c: np.repeat(pdf[c].iloc[0], len(ay)) for c in part_cols}
+        res[y] = ay.astype(np.int64)
+        res[x] = ax_.astype(np.int64)
+        res["charge"] = charge[ai[home], aj[home]]
+        return pd.DataFrame(res, columns=[*part_cols, y, x, "charge"])
+
+    return routed.groupBy(*part_cols, "_rty", "_rtx").applyInPandas(
+        kernel, T.StructType(out_fields)
+    )
+
+
 def residue_counts(
     df: DataFrame,
     part_cols: list[str],
     y: str = "y",
     x: str = "x",
     phase: str = "phase",
+    tile: int | None = None,
 ) -> DataFrame:
     """Per-raster residue summary: positive/negative counts (they balance on
     interior-closed fields) — zero means `unwrap_2d`'s LS recovery is exact,
-    nonzero means L2-optimal-estimate territory."""
-    r = residues(df, part_cols, y=y, x=x, phase=phase)
+    nonzero means L2-optimal-estimate territory. With `tile` set, the
+    plaquette pass runs in the tiled grouped-map form (the raster-scale
+    path); both forms emit identical charges."""
+    if tile is not None:
+        r = residues_tiled(df, part_cols, tile, y=y, x=x, phase=phase)
+    else:
+        r = residues(df, part_cols, y=y, x=x, phase=phase)
     return r.groupBy(*part_cols).agg(
         F.count(F.when(F.col("charge") > 0, 1)).alias("n_pos"),
         F.count(F.when(F.col("charge") < 0, 1)).alias("n_neg"),

@@ -181,6 +181,150 @@ def apply_retention_policy(
     return results
 
 
+def _hfs(spark: SparkSession, path: str):
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    return jvm, hpath, hpath.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
+
+
+def _read_small_json(spark: SparkSession, fs, p) -> dict:
+    import json as _json
+
+    stream = fs.open(p)
+    try:
+        ba = spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)  # noqa: SLF001
+    finally:
+        stream.close()
+    return _json.loads(bytes(ba).decode())
+
+
+def _write_small_json(fs, p, payload: dict) -> None:
+    import json as _json
+
+    out = fs.create(p, True)
+    out.write(bytearray(_json.dumps(payload).encode()))
+    out.close()
+
+
+def _recover_compaction(spark: SparkSession, path: str) -> list[str]:
+    """Complete any compaction commit interrupted by a crash. A leftover
+    `_compaction/<day>.json` intent manifest means staged files and input
+    deletions may be partially applied; both halves are idempotent replays:
+    each staged file is moved into the day dir unless already there, then
+    every listed input file that still exists is deleted. Staging dirs with
+    NO manifest are uncommitted work — discarded whole."""
+    jvm, _, fs = _hfs(spark, path)
+    man_dir = jvm.org.apache.hadoop.fs.Path(path, "_compaction")
+    staging_root = jvm.org.apache.hadoop.fs.Path(path, "_compact_staging")
+    recovered: list[str] = []
+    if fs.exists(man_dir):
+        for st in fs.listStatus(man_dir):
+            if not st.getPath().getName().endswith(".json"):
+                continue
+            man = _read_small_json(spark, fs, st.getPath())
+            day = man["day"]
+            day_dir = jvm.org.apache.hadoop.fs.Path(path, day)
+            staged_dir = jvm.org.apache.hadoop.fs.Path(staging_root, day)
+            for name in man["staged"]:
+                dst = jvm.org.apache.hadoop.fs.Path(day_dir, name)
+                src = jvm.org.apache.hadoop.fs.Path(staged_dir, name)
+                if fs.exists(dst):
+                    if fs.exists(src):
+                        fs.delete(src, False)
+                elif fs.exists(src):
+                    fs.rename(src, dst)
+                else:
+                    raise RuntimeError(
+                        f"compaction manifest for {day} lists staged file "
+                        f"{name} present in neither staging nor the partition"
+                    )
+            for name in man["inputs"]:
+                victim = jvm.org.apache.hadoop.fs.Path(day_dir, name)
+                if fs.exists(victim):
+                    fs.delete(victim, False)
+            fs.delete(st.getPath(), False)
+            if fs.exists(staged_dir):
+                fs.delete(staged_dir, True)
+            recovered.append(day)
+    if fs.exists(staging_root):
+        # anything left has no manifest → never committed → safe to discard
+        fs.delete(staging_root, True)
+    return recovered
+
+
+def _day_parquet_listing(jvm, fs, path: str, day: str) -> dict[str, int]:
+    day_dir = jvm.org.apache.hadoop.fs.Path(path, day)
+    return {
+        f.getPath().getName(): f.getLen()
+        for f in fs.listStatus(day_dir)
+        if f.isFile() and f.getPath().getName().endswith(".parquet")
+    }
+
+
+def _compact_day(
+    spark: SparkSession,
+    path: str,
+    day: str,
+    captured: dict[str, int],
+    target_file_bytes: int,
+) -> dict:
+    """Compact one day partition from an EXPLICIT captured file listing.
+
+    Concurrency contract (round-7 advice): a micro-batch file appended to
+    the day between the triggering scan and this commit is never touched —
+    the rewrite reads exactly the captured files, stages its output OUTSIDE
+    the live tree, re-checks the live listing, and on commit deletes only
+    the captured inputs. If the listing changed the day is SKIPPED (the
+    next run sees the merged set). Crash safety: an intent manifest
+    (`_compaction/<day>.json`) is written before the first live-tree
+    mutation; `_recover_compaction` replays an interrupted commit
+    idempotently, so readers never lose the day's rows (worst transient
+    state: staged duplicates alongside inputs for the manifest's lifetime,
+    resolved by recovery before the next scan)."""
+    import math as _m
+
+    jvm, _, fs = _hfs(spark, path)
+    day_dir = jvm.org.apache.hadoop.fs.Path(path, day)
+    staged_dir = jvm.org.apache.hadoop.fs.Path(path, f"_compact_staging/{day}")
+    nbytes = sum(captured.values())
+    n_out = max(1, _m.ceil(nbytes / target_file_bytes))
+    # read exactly the captured leaf files (no partition discovery — the
+    # staged files carry the same physical schema as the ones they replace)
+    inputs = [f"{path}/{day}/{name}" for name in sorted(captured)]
+    (
+        spark.read.parquet(*inputs)
+        .repartition(n_out)
+        .sortWithinPartitions("source", "epoch_s")
+        .write.mode("overwrite")
+        .parquet(str(staged_dir))
+    )
+    staged = sorted(
+        f.getPath().getName()
+        for f in fs.listStatus(staged_dir)
+        if f.isFile() and f.getPath().getName().endswith(".parquet")
+    )
+    live = _day_parquet_listing(jvm, fs, path, day)
+    if live != captured:
+        fs.delete(staged_dir, True)
+        return {"day": day, "status": "skipped_concurrent_write", "files_out": 0}
+    man_dir = jvm.org.apache.hadoop.fs.Path(path, "_compaction")
+    fs.mkdirs(man_dir)
+    man_path = jvm.org.apache.hadoop.fs.Path(man_dir, f"{day}.json")
+    _write_small_json(
+        fs, man_path, {"day": day, "inputs": sorted(captured), "staged": staged}
+    )
+    for name in staged:
+        fs.rename(
+            jvm.org.apache.hadoop.fs.Path(staged_dir, name),
+            jvm.org.apache.hadoop.fs.Path(day_dir, name),
+        )
+    for name in captured:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(day_dir, name), False)
+    fs.delete(man_path, False)
+    fs.delete(staged_dir, True)
+    return {"day": day, "status": "compacted", "files_out": len(staged)}
+
+
 def compact_tier(
     spark: SparkSession,
     path: str,
@@ -189,58 +333,56 @@ def compact_tier(
 ) -> dict:
     """Small-file compaction per day partition — the maintenance sibling of
     `apply_retention` (Iceberg's rewrite_data_files / OPTIMIZE analogue).
-    Streaming appends and per-batch dynamic-partition overwrites leave each
-    day with one parquet file per micro-batch; at 10^12 sequences that is
-    file-count death for the scan planner. For every `day=` partition whose
-    parquet file count is >= `min_files` AND whose average file size is
-    under half the target, rewrite JUST that partition with
-    ceil(bytes / target) files via a dynamic partition overwrite (other
-    days untouched, readers of other days unaffected; sortWithinPartitions
-    restores the (source, epoch_s) min/max stats `write_tier` guarantees).
+    Streaming appends leave each day with one parquet file per micro-batch;
+    at 10^12 sequences that is file-count death for the scan planner. For
+    every `day=` partition whose parquet file count is >= `min_files` AND
+    whose average file size is under half the target, rewrite JUST that
+    partition with ceil(bytes / target) files (other days untouched;
+    sortWithinPartitions restores the (source, epoch_s) min/max stats
+    `write_tier` guarantees).
 
-    Returns {compacted_days, files_before, files_after, bytes}; idempotent —
-    a compacted day fails the trigger on the next run.
+    Safe against concurrent appends and crashes (round-7 advice): inputs
+    are captured as an explicit listing, output is staged under
+    `_compact_staging/` and committed through an intent manifest
+    (`_compaction/<day>.json`) that `_recover_compaction` replays first on
+    every run; a day whose listing changed between scan and commit is
+    skipped, and only captured inputs are ever deleted — a file appended
+    mid-compaction always survives.
+
+    Returns {compacted_days, skipped_days, recovered_days, files_before,
+    files_after, bytes}; idempotent — a compacted day fails the trigger on
+    the next run.
     """
-    import math as _m
-
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())  # noqa: SLF001
-    todo: list[tuple[str, int, int]] = []
+    recovered = _recover_compaction(spark, path)
+    jvm, hpath, fs = _hfs(spark, path)
+    todo: list[tuple[str, dict[str, int]]] = []
     for st in fs.listStatus(hpath):
         name = st.getPath().getName()
         if not (st.isDirectory() and name.startswith("day=")):
             continue
-        files = [
-            f for f in fs.listStatus(st.getPath())
-            if f.isFile() and f.getPath().getName().endswith(".parquet")
-        ]
-        nbytes = sum(f.getLen() for f in files)
-        if len(files) >= min_files and nbytes / max(len(files), 1) < target_file_bytes / 2:
-            todo.append((name, len(files), nbytes))
-    files_before = sum(n for _, n, _ in todo)
+        listing = _day_parquet_listing(jvm, fs, path, name)
+        nbytes = sum(listing.values())
+        if len(listing) >= min_files and nbytes / max(len(listing), 1) < target_file_bytes / 2:
+            todo.append((name, listing))
+    compacted, skipped = [], []
     files_after = 0
     total_bytes = 0
-    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        for name, _, nbytes in todo:
-            n_out = max(1, _m.ceil(nbytes / target_file_bytes))
-            files_after += n_out
-            total_bytes += nbytes
-            day_df = spark.read.parquet(path).filter(F.col("day") == name[4:])
-            (
-                day_df.repartition(n_out)
-                .sortWithinPartitions("source", "epoch_s")
-                .write.mode("overwrite")
-                .partitionBy("day")
-                .parquet(path)
-            )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+    for name, listing in todo:
+        res = _compact_day(spark, path, name, listing, target_file_bytes)
+        if res["status"] == "compacted":
+            compacted.append(name)
+            files_after += res["files_out"]
+            total_bytes += sum(listing.values())
+        else:
+            skipped.append(name)
+    staging_root = jvm.org.apache.hadoop.fs.Path(path, "_compact_staging")
+    if fs.exists(staging_root) and not list(fs.listStatus(staging_root)):
+        fs.delete(staging_root, False)
     return {
-        "compacted_days": [n for n, _, _ in todo],
-        "files_before": files_before,
+        "compacted_days": compacted,
+        "skipped_days": skipped,
+        "recovered_days": recovered,
+        "files_before": sum(len(li) for n, li in todo if n in set(compacted)),
         "files_after": files_after,
         "bytes": int(total_bytes),
     }

@@ -323,20 +323,24 @@ def test_unwrap2d_tiled_plan_shape(spark):
         assert plan.count("InMemoryTableScan") >= 6
         # strip filters sit above the cache read, BEFORE the seam joins:
         # only 1-pixel edge strips ever shuffle
-        assert "% 16) = 15)" in plan and "% 16) = 0)" in plan
+        assert "pmod(" in plan and ", 16) = 15)" in plan and ", 16) = 0)" in plan
     finally:
         spark.catalog.clearCache()
 
 
 def test_phase_residues_plan_shape(spark):
-    """Residue counting must stay three broadcast equi-joins on shifted
-    coordinates + partial/final aggregation — never a cartesian or
-    nested-loop expansion of the pixel grid."""
+    """Tiled residue counting (round 8) must be ONE grouped-map pass over
+    halo-routed pixels — zero joins of the pixel table (the r7 relational
+    form was 3 equi-joins = 4 scans of the biggest table at raster scale),
+    one explode, one shuffle on (raster, tile), then partial/final
+    aggregation."""
     from covsar_spark.contract import QUERIES
 
     plan = _plan(QUERIES["phase_residues"](spark, "/root/testdata/sf0.001"))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan
-    assert plan.count("BroadcastHashJoin") == 3
+    assert "BroadcastHashJoin" not in plan
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert "Generate explode" in plan
     assert "HashAggregate" in plan

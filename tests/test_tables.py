@@ -174,3 +174,92 @@ def test_compact_tier_merges_small_files_preserving_rows(spark, tiny_cols, tmp_p
 
     # idempotent: single healthy file per day fails the trigger
     assert compact_tier(spark, path, target_file_bytes=64 * 1024 * 1024)["compacted_days"] == []
+
+
+def test_compact_day_skips_on_concurrent_append(spark, tiny_cols, tmp_path):
+    """A micro-batch file appended between the scan and the commit must
+    survive untouched — the day is skipped, nothing deleted (r7 advice)."""
+    import os
+
+    from covsar_spark.sources.tables import _compact_day, _day_parquet_listing, _hfs
+
+    roll = rollup_tokens(with_event_time(cols_to_spark(spark, tiny_cols)), "1h")
+    path = str(tmp_path / "tier_1h")
+    write_tier(roll, path, "1h")
+    write_tier(roll.limit(40), path, "1h", mode="append")
+    jvm, _, fs = _hfs(spark, path)
+    day = sorted(d for d in os.listdir(path) if d.startswith("day="))[0]
+    captured = _day_parquet_listing(jvm, fs, path, day)
+    before_rows = len(read_tier(spark, path).toPandas())
+
+    # simulate the race: a new append lands in THIS day AFTER the listing
+    # was captured
+    from covsar_spark.sources.tables import utc_day
+
+    day_rows = roll.filter(utc_day() == day[4:]).limit(7)
+    n_race = day_rows.count()
+    assert n_race == 7
+    write_tier(day_rows, path, "1h", mode="append")
+    live = _day_parquet_listing(jvm, fs, path, day)
+    assert set(live) > set(captured)
+
+    res = _compact_day(spark, path, day, captured, 64 * 1024 * 1024)
+    assert res["status"] == "skipped_concurrent_write"
+    # every pre-race file AND the racing file still present; zero row loss
+    assert set(_day_parquet_listing(jvm, fs, path, day)) == set(live)
+    assert len(read_tier(spark, path).toPandas()) == before_rows + 7
+    assert not os.path.exists(os.path.join(path, "_compact_staging", day))
+
+
+def test_compact_recovery_completes_interrupted_commit(spark, tiny_cols, tmp_path):
+    """Crash after the intent manifest is written but before any file moves:
+    the next compact_tier run replays the commit exactly once (staged files
+    in, listed inputs out) — rows preserved, no duplicates."""
+    import os
+
+    from covsar_spark.sources.tables import (
+        _day_parquet_listing,
+        _hfs,
+        _write_small_json,
+        compact_tier,
+    )
+
+    roll = rollup_tokens(with_event_time(cols_to_spark(spark, tiny_cols)), "1h")
+    path = str(tmp_path / "tier_1h")
+    write_tier(roll, path, "1h")
+    write_tier(roll.limit(40), path, "1h", mode="append")
+    jvm, _, fs = _hfs(spark, path)
+    day = sorted(d for d in os.listdir(path) if d.startswith("day="))[0]
+    captured = _day_parquet_listing(jvm, fs, path, day)
+    expect = (
+        read_tier(spark, path)
+        .toPandas()
+        .sort_values(["source", "epoch_s"])
+        .reset_index(drop=True)
+    )
+
+    # hand-stage the compacted output (what a crashed run left behind) ...
+    staged_dir = os.path.join(path, "_compact_staging", day)
+    inputs = [os.path.join(path, day, n) for n in sorted(captured)]
+    spark.read.parquet(*inputs).repartition(1).write.mode("overwrite").parquet(staged_dir)
+    staged = sorted(f for f in os.listdir(staged_dir) if f.endswith(".parquet"))
+    # ... plus the intent manifest, then "crash" before any move/delete
+    man = jvm.org.apache.hadoop.fs.Path(path, f"_compaction/{day}.json")
+    fs.mkdirs(jvm.org.apache.hadoop.fs.Path(path, "_compaction"))
+    _write_small_json(fs, man, {"day": day, "inputs": sorted(captured), "staged": staged})
+
+    m = compact_tier(spark, path, target_file_bytes=64 * 1024 * 1024)
+    assert m["recovered_days"] == [day]
+    # recovery replaced the inputs with the staged file for THAT day
+    live = _day_parquet_listing(jvm, fs, path, day)
+    assert set(live) == set(staged)
+    after = (
+        read_tier(spark, path)
+        .toPandas()
+        .sort_values(["source", "epoch_s"])
+        .reset_index(drop=True)
+    )
+    assert len(after) == len(expect)
+    assert (after["token_count"].to_numpy() == expect["token_count"].to_numpy()).all()
+    assert not os.path.exists(os.path.join(path, "_compaction", f"{day}.json"))
+    assert not os.path.exists(os.path.join(path, "_compact_staging"))

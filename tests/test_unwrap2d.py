@@ -323,3 +323,64 @@ def test_residues_zero_on_residue_free_and_pm1_on_vortex(spark):
     row = counts.iloc[0]
     assert row["n_pos"] + row["n_neg"] == len(nz)
     assert row["n_pos"] - row["n_neg"] == exp.sum()
+
+
+@pytest.mark.parametrize("tile", [8, 16, 48])
+def test_residues_tiled_matches_relational(spark, tile):
+    """The tiled grouped-map plaquette pass (raster-scale form) must emit
+    EXACTLY the relational form's charge map — including plaquettes that
+    straddle tile seams (the halo routing under test) and rasters with
+    holes (absent rows drop straddled plaquettes in both forms)."""
+    from covsar_spark.operators.unwrap2d import residues, residues_tiled
+
+    h, w = 32, 48
+    yy, xx = np.mgrid[0:h, 0:w]
+    vortex = (
+        0.7 * xx
+        - 0.4 * yy
+        + np.arctan2(yy - 15.5, xx - 16.5)   # center ON a tile-8 seam col
+        + np.arctan2(yy - 7.5, xx - 39.5)
+    )
+    rows = []
+    rng = np.random.default_rng(11)
+    holes = set(map(tuple, rng.integers(0, (h, w), size=(40, 2)).tolist()))
+    psi = wrap_np(vortex)
+    for i in range(h):
+        for j in range(w):
+            if (i, j) in holes:
+                continue
+            rows.append(("r", i, j, float(psi[i, j])))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["source", "y", "x", "phase"]))
+    rel = residues(df, ["source"]).toPandas().sort_values(["y", "x"]).reset_index(drop=True)
+    til = (
+        residues_tiled(df, ["source"], tile)
+        .toPandas()
+        .sort_values(["y", "x"])
+        .reset_index(drop=True)
+    )
+    assert len(rel) > 0
+    pd.testing.assert_frame_equal(rel, til, check_dtype=False)
+
+
+def test_tiled_unwrap_negative_origin(spark):
+    """A raster whose (y, x) origin is negative yields negative tile ids;
+    solve_offsets must normalize them (round-7 advice: numpy negative
+    indexing silently wrote the per-tile constants into the wrong cells)."""
+    true = _planted(40, 40, 0.8, -0.6, 1.2)
+    psi = wrap_np(true)
+    rows = [
+        ("neg", i - 24, j - 17, float(psi[i, j]), float(true[i, j]))
+        for i in range(40)
+        for j in range(40)
+    ]
+    pdf = pd.DataFrame(rows, columns=["source", "y", "x", "phase", "true"])
+    df = spark.createDataFrame(pdf)
+    got = (
+        unwrap_2d_tiled(df.select("source", "y", "x", "phase"), ["source"], tile=16)
+        .toPandas()
+        .sort_values(["y", "x"])
+        .reset_index(drop=True)
+    )
+    t = pdf.sort_values(["y", "x"])
+    true_v = t["true"].to_numpy()
+    np.testing.assert_allclose(got["unwrapped"].to_numpy(), true_v - true_v.mean(), atol=1e-8)
