@@ -8,7 +8,9 @@ The full 60+-entry per-query seconds map goes to BENCH_QUERIES_r{NN}.json
 next to this file (round from $SPARK_GRAFT_ROUND, else 1 + the highest
 committed BENCH_r{NN}.json — round-6 lesson: a single mutable
 BENCH_QUERIES.json lost per-round provenance the first time the driver
-overwrote it). Round-5 lesson: the driver's fixed-size stdout tail clipped
+overwrote it). WRITE-ONCE (round-7 lesson: the driver's end-of-round run
+clobbered the builder's committed same-round map): if the canonical name
+exists, later runs write a pid-suffixed sibling. Round-5 lesson: the driver's fixed-size stdout tail clipped
 the headline line mid-token once the map grew past it, so the stdout line
 carries only scalars + the two flagship walls and stays a few hundred bytes.
 
@@ -27,9 +29,12 @@ Noise adjudication, two mechanisms:
   subtree's jiffies, reported in CORES. Every query records the max
   co-tenant cores over its window; any query whose window exceeded
   $SPARK_GRAFT_NOISE_CORES (default 6.0 of this box's 32 logical CPUs) is
-  re-run once and the cleaner-window wall kept. The headline carries
-  noise_cores_p50 / noise_cores_max / noise_samples / n_reran so no reading
-  needs out-of-band adjudication.
+  re-run once and the cleaner-window wall kept. The TWO FLAGSHIP entries use
+  the much stricter $SPARK_GRAFT_FLAGSHIP_NOISE_CORES (default 0.5) with up
+  to two extra repeats — round-7 lesson: 1.3 co-tenant cores inflated the
+  driver's flagship >2x while sitting below the suite-wide trigger. The
+  headline carries noise_cores_p50 / noise_cores_max / noise_samples /
+  n_reran so no reading needs out-of-band adjudication.
 
 The headline metric is the flagship tokens pipeline's rolled-up points/sec
 across all retention tiers (BASELINE.json:metric); per-query seconds cover
@@ -56,6 +61,11 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 PROBE_MIN = float(os.environ.get("SPARK_GRAFT_PROBE_MIN", "400"))
 PROBE_MAX_WAIT_S = int(os.environ.get("SPARK_GRAFT_PROBE_MAX_WAIT_S", "600"))
 NOISE_CORES = float(os.environ.get("SPARK_GRAFT_NOISE_CORES", "6.0"))
+# the two flagship entries are THE headline — r7 lesson: the driver's
+# flagship read 14.24s under 1.3 co-tenant cores (annotated but below the
+# 6.0-core re-run trigger) vs 5.49-6.64s clean. Headline entries re-run at a
+# much stricter threshold so the driver-side number tracks clean-box truth.
+FLAGSHIP_NOISE_CORES = float(os.environ.get("SPARK_GRAFT_FLAGSHIP_NOISE_CORES", "0.5"))
 NOISE_PERIOD_S = float(os.environ.get("SPARK_GRAFT_NOISE_PERIOD_S", "3.0"))
 _REPO = os.path.dirname(os.path.abspath(__file__))
 
@@ -76,7 +86,18 @@ def _round_tag() -> str:
 
 
 ROUND_TAG = _round_tag()
-QUERIES_OUT = os.path.join(_REPO, f"BENCH_QUERIES_{ROUND_TAG}.json")
+
+
+def _queries_out_path() -> str:
+    """Write-once per-round artifact (r7 lesson: the driver's end-of-round
+    run overwrote the builder's committed same-round map, leaving the tree
+    dirty every round). The FIRST run of a round owns the canonical
+    BENCH_QUERIES_rNN.json; any later run in the same round writes a
+    pid-suffixed sibling instead of clobbering it."""
+    canonical = os.path.join(_REPO, f"BENCH_QUERIES_{ROUND_TAG}.json")
+    if not os.path.exists(canonical):
+        return canonical
+    return os.path.join(_REPO, f"BENCH_QUERIES_{ROUND_TAG}.{os.getpid()}.json")
 
 # single-thread host-speed burn, identical to scripts/scaling.py's CALIBRATE:
 # co-tenant interference shows up as a LOWER ops/s number
@@ -403,18 +424,28 @@ def main():
             q_times[name], q_noise[name] = w2, n2
 
     def flagship_best(with_closure: bool) -> tuple[float, int, float]:
-        """Best-of-N flagship, plus one extra repeat if the kept (min-wall)
-        run's window was itself noisy. Returns (wall, points, noise_cores)."""
+        """Best-of-N flagship, plus up to two extra repeats while the kept
+        (min-wall) run's window saw > FLAGSHIP_NOISE_CORES of co-tenant load
+        (r7: 1.3 cores inflated the driver's flagship >2x yet sat below the
+        suite-wide 6.0-core trigger). Returns (wall, points, noise_cores)."""
         runs = [run_flagship(spark, TOKENS_ROWS, with_closure=with_closure)
                 for _ in range(FLAGSHIP_REPEATS)]
         wall, points, win = min(runs, key=lambda r: r[0])
         noise = sampler.window_max(*win)
-        if noise > NOISE_CORES:
+        extra = 0
+        while noise > FLAGSHIP_NOISE_CORES and extra < 2:
+            extra += 1
             wall2, points2, win2 = run_flagship(
                 spark, TOKENS_ROWS, with_closure=with_closure
             )
-            if wall2 < wall:
-                wall, points, noise = wall2, points2, sampler.window_max(*win2)
+            noise2 = sampler.window_max(*win2)
+            # keep the faster wall; on equal walls prefer the cleaner window
+            if wall2 < wall or (wall2 == wall and noise2 < noise):
+                wall, points, noise = wall2, points2, noise2
+            elif noise2 <= FLAGSHIP_NOISE_CORES:
+                # the re-run was clean but slower: the kept min-wall reading
+                # was not noise-inflated after all — stop re-running
+                break
         return wall, points, noise
 
     wall, points, noise_f = flagship_best(with_closure=False)
@@ -444,10 +475,11 @@ def main():
     total = round(sum(q_times.values()), 3)
     run_id = f"{ROUND_TAG}.{os.getpid()}"
 
-    # full per-query map -> per-round file artifact (the driver records the
-    # repo, so BENCH_QUERIES_rNN.json travels with the round and never
-    # overwrites a previous round's provenance); stdout stays compact
-    with open(QUERIES_OUT, "w") as f:
+    # full per-query map -> write-once per-round file artifact (see
+    # _queries_out_path; a later same-round run lands in a pid-suffixed
+    # sibling, never clobbering the committed map); stdout stays compact
+    queries_out = _queries_out_path()
+    with open(queries_out, "w") as f:
         json.dump(
             {
                 "run_id": run_id,
@@ -463,6 +495,7 @@ def main():
                 "noise_cores_max": noise_max,
                 "noise_samples": len(all_iv),
                 "noise_threshold_cores": NOISE_CORES,
+                "flagship_noise_threshold_cores": FLAGSHIP_NOISE_CORES,
                 "reran_for_noise": reran,
                 "queries": q_times,
                 "query_noise_cores": q_noise,
@@ -490,7 +523,7 @@ def main():
                     "flagship_pipeline_closure": q_times["flagship_pipeline_closure"],
                 },
                 "n_queries": len(q_times),
-                "queries_file": os.path.basename(QUERIES_OUT),
+                "queries_file": os.path.basename(queries_out),
                 "run_id": run_id,
                 "calib_pre": calib_pre,
                 "calib_post": calib_post,

@@ -2624,36 +2624,16 @@ def lc_window_stats(spark, sf_dir):
 # silently drops out of the sum.
 # ---------------------------------------------------------------------------
 
-# Round-7 rotation (r6 verdict #1): the 8 `_SUITE_ROWEXPR` entries — whose
-# last DIRECT driver rows dated from r1–r2, the oldest evidence in the repo —
-# are promoted back inside the cap for fresh hash rows, along with
-# intensity_db / semi_anti_join / value_histogram. With every member of the
-# original `_SUITE_ROWEXPR` now holding a direct in-cap row, its carrier
-# `demoted_suite` is retired (exactly the rule the ordering test encodes: a
+# Round-8 rotation (r7 verdict #2): the 9 `_SUITE_ROWEXPR_2` entries — whose
+# last DIRECT driver rows dated from r5, three rounds stale and the oldest
+# evidence in the repo — are promoted back inside the cap for fresh hash
+# rows. With every member promoted, the carrier `demoted_suite_2` is
+# retired (the same rule that retired `demoted_suite` in round 7: a
 # promoted entry leaves its rowexpr dict — a direct row supersedes the
-# checksum). The 11 r6 graduates rotate out with green r6 rows banked and
-# keep in-cap evidence via the new `demoted_suite_3` below.
-
-# Round-6 rotation's checksum carrier, round-7 membership: the entries that
-# banked green driver rows in r5 and remain past the cap this round. Same
-# composition rules as the retired _SUITE_ROWEXPR (see _suite_oracle);
-# `fingerprint`'s 60-bit XOR hash is reduced mod 1e9+7 before summing
-# (500 x 2^60 would overflow int64 — `%` on non-negative bigints is
-# identical in Spark SQL and DuckDB).
-_SUITE_ROWEXPR_2 = {
-    "ann_cosine_topk": "query_id + rank + neighbor_id",
-    "ann_lsh_q100": "query_id + rank + neighbor_id",
-    "unigram_logprob": "length(doc_id) + length(source) + n_tok"
-                       " + coalesce(cast(round(mean_nll * 1000000, 0) as bigint), 0)",
-    "token_packing": "length(source) + bin + n_docs + n_tokens"
-                     " + coalesce(cast(round(fill_ratio * 1000000, 0) as bigint), 0)",
-    "vocab_topk": "length(source) + rank + token + n",
-    "lang_id": "doc_id + length(lang_pred)"
-               " + coalesce(cast(round(stopword_ratio * 1000000, 0) as bigint), 0)",
-    "fingerprint": "doc_id + coalesce(fp, 0) % 1000000007",
-    "topk_per_group": "length(event_type) + rank + event_id",
-    "word_stats": "doc_id + n_words + n_chars + n_uniq_words + n_punct",
-}
+# checksum). `phase_residues` (NEW tiled plaquette pass this round) and
+# `nearest_point` also promote out of `_SUITE_ROWEXPR_3` for direct rows;
+# the 11 r7 graduates rotate out with green r7 rows banked and keep in-cap
+# evidence via `demoted_suite_4` below.
 
 
 def _sha_chk(col: str) -> str:
@@ -2668,16 +2648,16 @@ def _sha_chk(col: str) -> str:
     ) + ")"
 
 
-# Round-7 rotation's checksum carrier: the 11 r6 graduates (fresh green
-# driver rows in CORRECTNESS_r06) rotate out to make cap room for the 8
-# oldest-evidence promotions; each keeps an in-cap (n_rows, chk) row here.
+# Round-7 rotation's checksum carrier (round-8 membership: `nearest_point`
+# and `phase_residues` promoted out for direct rows): the r6 graduates
+# (fresh green driver rows in CORRECTNESS_r06) that remain past the cap;
+# each keeps an in-cap (n_rows, chk) row here.
 # `kind` uses an ascii probe (image/audio/video all have length 5);
 # payload_sha digests use _sha_chk; numeric media ids cast exactly.
 _SUITE_ROWEXPR_3 = {
     "ann_lsh_topk": "query_id + rank + neighbor_id",
     "ann_ivf_topk": "query_id + rank + neighbor_id",
     "near_dup_lsh": "id_a + id_b + (case when same_label then 1 else 0 end)",
-    "nearest_point": "query_id + nn_id + dist2",
     "multimodal_features": "cast(media_id as bigint) + ascii(substr(kind, 1, 1))"
                            " + n_bytes + coalesce(byte_sum, 0)"
                            " + coalesce(n_samples, 0) + " + _sha_chk("payload_sha"),
@@ -2709,10 +2689,41 @@ _SUITE_ROWEXPR_3 = {
     "phase_unwrap_2d": "length(r_name) + y + x"
                        " + cast(round(wrapped * 1000000, 0) as bigint)"
                        " + cast(round(unwrapped * 1000, 0) as bigint)",
-    # registered directly as demoted (round 7): the residue diagnostic is
-    # a 5-row summary whose full oracle re-runs every pytest; in-cap
-    # evidence rides here
-    "phase_residues": "length(r_name) + n_pos * 1000 + n_neg",
+}
+
+
+# Round-8 rotation's checksum carrier: the 11 entries that banked fresh
+# green driver rows in CORRECTNESS_r07 rotate out to make cap room for the
+# 9 r5-evidence promotions + phase_residues + nearest_point; each keeps an
+# in-cap (n_rows, chk) row here. Floats are already rounded to 4/6 dp by
+# each sibling's own contract, so cast(round(v * 10^dp, 0) as bigint) is an
+# exact integer lift in both dialects (see the block comment above
+# _suite_oracle); nullable floats (lag_diff's first-row diff) coalesce to 0.
+_SUITE_ROWEXPR_4 = {
+    "running_sum": "event_id + user_id"
+                   " + coalesce(cast(round(running * 10000, 0) as bigint), 0)",
+    "lag_diff": "event_id + user_id"
+                " + coalesce(cast(round(diff * 10000, 0) as bigint), 0)",
+    "rollup_1d_cascade": "length(source) + epoch_s + token_count"
+                         " + coalesce(cast(round(sum_value * 10000, 0) as bigint), 0)",
+    "gapfill_ffill_1m": "length(source) + epoch_s"
+                        " + coalesce(cast(round(rate * 1000000, 0) as bigint), 0)"
+                        " + (case when filled then 1 else 0 end)",
+    "json_extract": "k_mod + n"
+                    " + coalesce(cast(round(sum_value * 10000, 0) as bigint), 0)",
+    "jaccard_pairs": "doc_a + doc_b + n_common"
+                     " + coalesce(cast(round(jaccard * 1000000, 0) as bigint), 0)",
+    "embedding_norms": "vec_id + label"
+                       " + coalesce(cast(round(norm * 10000, 0) as bigint), 0)",
+    "quality_score": "doc_id + n_words + quality"
+                     " + coalesce(cast(round(stopword_ratio * 1000000, 0) as bigint), 0)"
+                     " + coalesce(cast(round(uniq_ratio * 1000000, 0) as bigint), 0)"
+                     " + coalesce(cast(round(mean_word_len * 1000000, 0) as bigint), 0)",
+    "intensity_db": "length(source) + epoch_s"
+                    " + coalesce(cast(round(db * 1000000, 0) as bigint), 0)",
+    "semi_anti_join": "length(side) + n",
+    "value_histogram": "length(event_type) + bin + n"
+                       " + coalesce(cast(round(sum_value * 10000, 0) as bigint), 0)",
 }
 
 
@@ -2745,19 +2756,23 @@ def _suite_df(spark, sf_dir, rowexprs: dict[str, str]) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b), parts)
 
 
-@register("demoted_suite_2", _suite_oracle(_SUITE_ROWEXPR_2))
-def demoted_suite_2(spark, sf_dir):
-    """Suite checksum over the 9 still-demoted entries rotated out in round
-    6 (see _SUITE_ROWEXPR_2) — each banked a direct green driver row in r5.
-    (`demoted_suite`, the original 8-entry carrier, was retired in round 7:
-    every member was promoted back inside the cap for direct rows.)"""
-    return _suite_df(spark, sf_dir, _SUITE_ROWEXPR_2)
+@register("demoted_suite_4", _suite_oracle(_SUITE_ROWEXPR_4))
+def demoted_suite_4(spark, sf_dir):
+    """Suite checksum over the 11 entries rotated out in round 8 (see
+    _SUITE_ROWEXPR_4) — each banked a direct green driver row in r7.
+    (`demoted_suite` and `demoted_suite_2`, the r6/r7 carriers, were
+    retired in rounds 7/8 respectively: every member promoted back inside
+    the cap for direct rows.)"""
+    return _suite_df(spark, sf_dir, _SUITE_ROWEXPR_4)
 
 
 @register("demoted_suite_3", _suite_oracle(_SUITE_ROWEXPR_3))
 def demoted_suite_3(spark, sf_dir):
-    """Suite checksum over the 11 entries rotated out in round 7 (see
-    _SUITE_ROWEXPR_3) — each banked a direct green driver row in r6."""
+    """Suite checksum over the 15 entries rotated out across round 7 (see
+    _SUITE_ROWEXPR_3): the 11 r6 graduates demoted at rotation time — each
+    banked a direct green driver row in r6 — plus the four late-r7
+    demotions (tier_cascade_1h, phase_cumprod, phase_unwrap_2d,
+    phase_residues) that made cap room for the new 2-D unwrap entries."""
     return _suite_df(spark, sf_dir, _SUITE_ROWEXPR_3)
 
 
@@ -2779,49 +2794,15 @@ def demoted_suite_3(spark, sf_dir):
 # New oracle-bearing registrations land in tier 2 automatically.
 # ---------------------------------------------------------------------------
 
-# Round-7 rotation (r6 verdict #1): the 8 long-demoted `_SUITE_ROWEXPR`
-# entries (last DIRECT driver rows r1–r2 — the oldest evidence in the repo)
-# rotate back inside the cap, plus intensity_db / semi_anti_join /
-# value_histogram (direct rows r1–r5). The 11 r6 graduates they displace
-# all banked green rows in CORRECTNESS_r06 and keep in-cap checksum
-# evidence via `demoted_suite_3`.
+# Round-8 rotation (r7 verdict #2): the 9 `_SUITE_ROWEXPR_2` entries (last
+# DIRECT driver rows r5 — three rounds stale, the oldest evidence in the
+# repo) rotate back inside the cap; `demoted_suite_2` retires with them.
+# `phase_residues` gets its FIRST direct driver row (the plaquette pass is
+# new-in-r8 tiled code) and `nearest_point` rotates back from suite_3. The
+# 11 r7 graduates they displace all banked green rows in CORRECTNESS_r07
+# and keep in-cap checksum evidence via the new `demoted_suite_4`.
 DRIVER_PRIORITY = [
-    # last direct driver row r1-r2 — the promotion this rotation exists for
-    "running_sum",
-    "lag_diff",
-    "rollup_1d_cascade",
-    "gapfill_ffill_1m",
-    "json_extract",
-    "jaccard_pairs",
-    "embedding_norms",
-    "quality_score",
-    # direct rows r1-r5; demoted in r6 purely for cap room — rotated back
-    "intensity_db",
-    "semi_anti_join",
-    "value_histogram",
-    # checksum carriers: fresh per-entry evidence for 20 demoted siblings
-    "demoted_suite_2",   # the 9 entries rotated out in round 6 (green r5)
-    "demoted_suite_3",   # the 11 entries rotated out this round (green r6)
-]
-
-# Oracle-bearing entries past the cap this round. Every entry here is a
-# weaker variant of an in-cap sibling (the SURVEY §2 row stays covered
-# in-cap) OR banked a fresh green driver row last round:
-#   - r6-rotation residue (green r5 rows banked): ann_cosine_topk (baseline
-#     of ann_lsh/ivf_topk), ann_lsh_q100 (parameterized twin of
-#     ann_lsh_topk), unigram_logprob / token_packing / vocab_topk (token
-#     ops, §2.8 array path in-cap via collect_epochs), lang_id /
-#     fingerprint / word_stats (text ops, quality_score promoted in-cap),
-#     topk_per_group (A9, by kappa_grid).
-#   - r7 rotation (green r6 rows banked): the 11 r6 graduates.
-# Every entry here is re-verified against its oracle EVERY pytest run
-# (tests/test_contract_ordering.py::test_demoted_entries_still_pass_their_oracles),
-# so demotion never means regressions are invisible — and every entry
-# additionally keeps an in-cap external checksum row via `demoted_suite_2`
-# / `demoted_suite_3` (memberships asserted equal to this list by
-# test_suite_checksum_covers_only_demoted_entries).
-DRIVER_DEMOTED = [
-    # rotated out round 6 with green r5 rows banked
+    # last direct driver row r5 — the promotions this rotation exists for
     "ann_cosine_topk",
     "unigram_logprob",
     "token_packing",
@@ -2831,11 +2812,39 @@ DRIVER_DEMOTED = [
     "topk_per_group",
     "word_stats",
     "ann_lsh_q100",
+    # first direct driver row for the round-8 tiled plaquette pass (the r7
+    # relational form only ever held a pytest-oracle + checksum row)
+    "phase_residues",
+    # r6 graduate (green r6 banked) rotated back for a fresh direct row
+    "nearest_point",
+    # checksum carriers: fresh per-entry evidence for 24 demoted siblings
+    "demoted_suite_3",   # the r6 graduates still past the cap (green r6)
+    "demoted_suite_4",   # the 11 entries rotated out this round (green r7)
+]
+
+# Oracle-bearing entries past the cap this round. Every entry here is a
+# weaker variant of an in-cap sibling (the SURVEY §2 row stays covered
+# in-cap) OR banked a fresh green driver row last round:
+#   - r7-rotation residue (green r6 rows banked): ann_lsh_topk/ann_ivf_topk
+#     (ANN family holds ann_cosine_topk + ann_lsh_q100 in-cap), near_dup_lsh
+#     (near_dup_cosine in-cap), 4x multimodal (exact sha/byte oracles,
+#     pytest-reverified), gapfill_cross_1m (3 gapfill policies in-cap),
+#     boilerplate_ngrams, phase_unwrap (1-D; the 2-D family holds two
+#     in-cap rows), tier_cascade_1h (A7 via rollup_1h/1d_cascade),
+#     phase_cumprod (W1 via running_product/sum), phase_unwrap_2d (kernel
+#     runs inside the in-cap tiled entry's stage 1).
+#   - r8 rotation (green r7 rows banked): the 11 r7 graduates.
+# Every entry here is re-verified against its oracle EVERY pytest run
+# (tests/test_contract_ordering.py::test_demoted_entries_still_pass_their_oracles),
+# so demotion never means regressions are invisible — and every entry
+# additionally keeps an in-cap external checksum row via `demoted_suite_3`
+# / `demoted_suite_4` (memberships asserted equal to this list by
+# test_suite_checksum_covers_only_demoted_entries).
+DRIVER_DEMOTED = [
     # rotated out round 7 with green r6 rows banked
     "ann_lsh_topk",
     "ann_ivf_topk",
     "near_dup_lsh",
-    "nearest_point",
     "multimodal_features",
     "multimodal_frames",
     "multimodal_resize",
@@ -2843,21 +2852,21 @@ DRIVER_DEMOTED = [
     "gapfill_cross_1m",
     "boilerplate_ngrams",
     "phase_unwrap",
-    # demoted late in round 7: cap room for phase_unwrap_2d(+_tiled), the
-    # new spatial-unwrap operators that need first direct driver rows.
-    # Both are exact duplicates of in-cap SURVEY rows (A7 / W1) and carry
-    # fresh checksum rows via demoted_suite_3.
     "tier_cascade_1h",
     "phase_cumprod",
-    # demoted latest in round 7 for phase_unwrap_2d_masked (the new PCG
-    # path deserves the direct driver row): the single-solve kernel runs
-    # inside the in-cap tiled entry's stage 1 per tile; checksum row in
-    # demoted_suite_3.
     "phase_unwrap_2d",
-    # born-demoted (round 7): residue-count diagnostic — 5-row summary,
-    # exact oracle re-verified every pytest + suite-3 checksum row; the
-    # unwrap family already holds two direct in-cap rows
-    "phase_residues",
+    # rotated out round 8 with green r7 rows banked
+    "running_sum",
+    "lag_diff",
+    "rollup_1d_cascade",
+    "gapfill_ffill_1m",
+    "json_extract",
+    "jaccard_pairs",
+    "embedding_norms",
+    "quality_score",
+    "intensity_db",
+    "semi_anti_join",
+    "value_histogram",
 ]
 
 

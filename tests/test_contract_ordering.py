@@ -65,7 +65,7 @@ def test_suite_checksum_covers_only_demoted_entries():
     from covsar_spark import contract
 
     covered = set()
-    for rowexprs in (contract._SUITE_ROWEXPR_2, contract._SUITE_ROWEXPR_3):
+    for rowexprs in (contract._SUITE_ROWEXPR_3, contract._SUITE_ROWEXPR_4):
         for name in rowexprs:
             assert name in contract.DRIVER_DEMOTED, f"{name} covered but not demoted"
             assert name in contract.ORACLE, f"{name} covered but has no oracle"
