@@ -96,7 +96,11 @@ def ls_unwrap_grid(psi: np.ndarray) -> np.ndarray:
 
 
 def masked_ls_unwrap_grid(
-    psi: np.ndarray, w: np.ndarray, tol: float = 1e-10, maxiter: int | None = None
+    psi: np.ndarray,
+    w: np.ndarray,
+    tol: float = 1e-10,
+    maxiter: int | None = None,
+    stats: dict | None = None,
 ) -> np.ndarray:
     """WEIGHTED least-squares unwrap (Ghiglia & Romero's weighted form) with
     0/1 weights: minimize sum w_edge |grad(phi) - W(grad(psi))|^2 where
@@ -122,7 +126,7 @@ def masked_ls_unwrap_grid(
         return np.zeros_like(psi)
     gx = wx * wrap_np(np.diff(p0, axis=1))
     gy = wy * wrap_np(np.diff(p0, axis=0))
-    return _weighted_poisson_cg(gx, gy, wx, wy, obs, tol=tol, maxiter=maxiter)
+    return _weighted_poisson_cg(gx, gy, wx, wy, obs, tol=tol, maxiter=maxiter, stats=stats)
 
 
 def _weighted_poisson_cg(
@@ -133,6 +137,7 @@ def _weighted_poisson_cg(
     obs: np.ndarray,
     tol: float = 1e-10,
     maxiter: int | None = None,
+    stats: dict | None = None,
 ) -> np.ndarray:
     """Solve the edge-weighted least-squares problem min sum_edges
     |grad(phi) - g|^2 over node field phi, given ALREADY-WEIGHTED edge
@@ -161,6 +166,8 @@ def _weighted_poisson_cg(
     r = b.copy()
     b_norm = np.linalg.norm(b)
     if b_norm == 0.0:
+        if stats is not None:
+            stats.update(iterations=0, rel_residual=0.0)
         return phi
     if maxiter is None:
         # CG terminates in n_obs iterations in exact arithmetic; the slack
@@ -171,7 +178,9 @@ def _weighted_poisson_cg(
     z = precond(r)
     p = z
     rz = float((r * z).sum())
+    iters = 0
     for _ in range(maxiter):
+        iters += 1
         ap = a_op(p)
         pap = float((p * ap).sum())
         if pap <= 0.0:
@@ -185,6 +194,8 @@ def _weighted_poisson_cg(
         rz_new = float((r * z).sum())
         p = z + (rz_new / rz) * p
         rz = rz_new
+    if stats is not None:
+        stats.update(iterations=iters, rel_residual=float(np.linalg.norm(r) / b_norm))
     # a silently-unconverged solve would return a plausible-but-wrong
     # surface (measured: 1.9e-3 error on a serpentine mask at 100 iters) —
     # fail loudly instead; the caller can widen tol or maxiter

@@ -283,6 +283,46 @@ def test_masked_serpentine_corridor_converges_or_raises():
         masked_ls_unwrap_grid(psi, m, tol=1e-12, maxiter=100)
 
 
+def test_masked_benign_holes_iteration_bound():
+    """Convergence-envelope contract for the BENIGN mask class (block holes
+    separated by >=1 observed pixel, the decorrelated-pixel regime): the
+    FFT-Poisson-preconditioned CG must converge to 1e-10 in tens of
+    iterations, independent of hole fraction. The mask-study sweep
+    (scripts/unwrap_mask_study.py, BENCH_SCALE_STUDY.json
+    `masked_unwrap_convergence`) measured 20-25 iterations at 10-38% holes
+    on 192x192; this pins a 3x-margin bound at 75 so a preconditioner
+    regression fails loudly here rather than as a production ValueError."""
+    from covsar_spark.operators.unwrap2d import masked_ls_unwrap_grid
+
+    h, w = 96, 96
+    yy, xx = np.mgrid[0:h, 0:w].astype(float)
+    true = 0.35 * xx + 0.22 * yy + 4.0 * np.exp(
+        -(((yy - h / 2) ** 2 + (xx - w / 3) ** 2) / (2 * (h / 6) ** 2))
+    )
+    psi = wrap_np(true)
+    rng = np.random.default_rng(8)
+    m = np.ones((h, w))
+    blocked = np.zeros((h, w), bool)
+    holes = 0
+    attempts = 0
+    while holes < int(0.3 * h * w) and attempts < 50_000:
+        attempts += 1
+        b = int(rng.integers(2, 5))
+        y, x = int(rng.integers(1, h - b)), int(rng.integers(1, w - b))
+        if blocked[y : y + b, x : x + b].any():
+            continue
+        m[y : y + b, x : x + b] = 0.0
+        blocked[max(0, y - 1) : y + b + 1, max(0, x - 1) : x + b + 1] = True
+        holes += b * b
+    obs = m > 0
+    assert 0.55 < obs.mean() < 0.95
+
+    stats: dict = {}
+    phi = masked_ls_unwrap_grid(psi, m, tol=1e-10, stats=stats)
+    np.testing.assert_allclose(phi[obs], true[obs] - true[obs].mean(), atol=1e-7)
+    assert stats["iterations"] <= 75, stats
+
+
 def _np_residues(psi: np.ndarray) -> np.ndarray:
     """Loop-free numpy plaquette oracle for the Spark residue operator."""
     d01 = wrap_np(psi[:, 1:] - psi[:, :-1])     # (h, w-1)
