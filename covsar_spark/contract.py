@@ -2768,11 +2768,11 @@ def demoted_suite_4(spark, sf_dir):
 
 @register("demoted_suite_3", _suite_oracle(_SUITE_ROWEXPR_3))
 def demoted_suite_3(spark, sf_dir):
-    """Suite checksum over the 15 entries rotated out across round 7 (see
-    _SUITE_ROWEXPR_3): the 11 r6 graduates demoted at rotation time — each
-    banked a direct green driver row in r6 — plus the four late-r7
-    demotions (tier_cascade_1h, phase_cumprod, phase_unwrap_2d,
-    phase_residues) that made cap room for the new 2-D unwrap entries."""
+    """Suite checksum over the 13 entries still demoted from the round-7
+    rotation (see _SUITE_ROWEXPR_3): of the 15 rotated out across r7 (11 r6
+    graduates + the four late-r7 demotions that made cap room for the 2-D
+    unwrap entries), `nearest_point` and `phase_residues` rotated back to
+    direct driver rows in round 8, leaving 13 here."""
     return _suite_df(spark, sf_dir, _SUITE_ROWEXPR_3)
 
 
