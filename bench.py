@@ -270,6 +270,8 @@ BENCH_QUERIES = [
     "phase_unwrap",
     "phase_unwrap_2d_tiled",
     "phase_unwrap_2d_masked",
+    "hll_user_cascade",
+    "hdr_value_quantiles",
     "interferogram",
     "mean_lag_coherence",
     "kappa_grid",

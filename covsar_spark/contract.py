@@ -2692,9 +2692,140 @@ _SUITE_ROWEXPR_3 = {
 }
 
 
-# Round-8 rotation's checksum carrier: the 11 entries that banked fresh
+# ---------------------------------------------------------------------------
+# Mergeable sketch tiers (round 8): cascadable distinct counts + quantiles.
+# The bucket/register math is SHARED between the Spark plan and this oracle
+# via the SQL fragment builders in operators/sketches.py (integer-only —
+# bin()-length instead of float log2 — so neither engine can drift); only
+# the md5→int hash lift is dialect-specific (conv vs '0x'|| cast, the repo's
+# standard shared-hash recipe). Estimator float constants are embedded from
+# the SAME Python float via repr() on both sides.
+from .operators.sketches import (  # noqa: E402
+    hdr_daily_quantiles,
+    hdr_index_sql,
+    hdr_lower_sql,
+    hll_daily_cascade,
+    hll_rank_sql,
+    hll_reg_sql,
+)
+
+_HLL_ALPHA_M2 = repr(0.7213 / (1.0 + 1.079 / 256.0) * 256 * 256)
+_DUCK_H40_USER = "('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 10))::BIGINT"
+
+
+def _hll_est_select(src: str, out: str, with_present: bool) -> str:
+    e_raw = f"{_HLL_ALPHA_M2} / ((256 - present) + sumpow)"
+    pres = "present, " if with_present else ""
+    return f"""
+    SELECT day_s, {pres}
+           round(CASE WHEN round({e_raw}, 6) <= 640.0 AND (256 - present) > 0
+                 THEN 256.0 * ln(256.0 / (256 - present))
+                 ELSE {e_raw} END, 4) + 0.0 AS {out}
+    FROM (SELECT day_s, count(*)::BIGINT AS present,
+                 sum(power(2.0, -m_rank)) AS sumpow
+          FROM {src} GROUP BY day_s)"""
+
+
+@register(
+    "hll_user_cascade",
+    f"""
+    WITH keyed AS (
+      SELECT epoch(date_trunc('day', ts))::BIGINT AS day_s,
+             epoch(date_trunc('hour', ts))::BIGINT AS hour_s,
+             {hll_reg_sql(_DUCK_H40_USER)} AS reg,
+             {hll_rank_sql(_DUCK_H40_USER)} AS rank
+      FROM events),
+    hourly AS (SELECT day_s, hour_s, reg, max(rank) AS m_rank
+               FROM keyed GROUP BY 1, 2, 3),
+    daily_c AS (SELECT day_s, reg, max(m_rank) AS m_rank FROM hourly GROUP BY 1, 2),
+    daily_d AS (SELECT day_s, reg, max(rank) AS m_rank FROM keyed GROUP BY 1, 2),
+    est_c AS ({_hll_est_select('daily_c', 'est_cascade', True)}),
+    est_d AS ({_hll_est_select('daily_d', 'est_direct', False)}),
+    exact AS (SELECT epoch(date_trunc('day', ts))::BIGINT AS day_s,
+                     count(DISTINCT user_id)::BIGINT AS n_exact
+              FROM events GROUP BY 1)
+    SELECT day_s, e.n_exact, c.present, d.est_direct, c.est_cascade
+    FROM exact e JOIN est_d d USING (day_s) JOIN est_c c USING (day_s)
+    """,
+)
+def hll_user_cascade(spark, sf_dir):
+    """Cascadable distinct counting: per-day HyperLogLog over user_id, the
+    daily registers produced BOTH directly and by per-register MAX over the
+    hourly register tier (the continuous-aggregate merge — the same
+    associative op the rollup cascade A7 uses for sums). The reference has
+    no distinct-count surface; this is the engine's 100 TB answer to
+    "distinct sequences per source per window" where exact countDistinct
+    would shuffle every key: the register table is ≤256 rows per window,
+    the merge never touches raw data, and the estimator replays bit-exactly
+    in DuckDB (integer bin()-length ranks; dyadic 2^-M sums are exact in
+    float64; the ln() branch is 4dp-rounded). operators/sketches.py."""
+    return hll_daily_cascade(_read(spark, sf_dir, "events"), key="user_id")
+
+
+@register(
+    "hdr_value_quantiles",
+    f"""
+    WITH keyed AS (
+      SELECT epoch(date_trunc('day', ts))::BIGINT AS day_s,
+             epoch(date_trunc('hour', ts))::BIGINT AS hour_s,
+             {hdr_index_sql('vi')} AS idx
+      FROM (SELECT ts, CAST(floor(value * 100) AS BIGINT) AS vi
+            FROM events WHERE value > 0)),
+    hourly AS (SELECT day_s, hour_s, idx, count(*)::BIGINT AS cnt
+               FROM keyed GROUP BY 1, 2, 3),
+    daily_c AS (SELECT day_s, idx, sum(cnt)::BIGINT AS cnt FROM hourly GROUP BY 1, 2),
+    daily_d AS (SELECT day_s, idx, count(*)::BIGINT AS cnt FROM keyed GROUP BY 1, 2),
+    pcts AS (SELECT unnest([50, 95, 99]) AS p_pct),
+    cum_c AS (SELECT day_s, idx,
+                     sum(cnt) OVER (PARTITION BY day_s ORDER BY idx) AS cum,
+                     sum(cnt) OVER (PARTITION BY day_s) AS n_vals FROM daily_c),
+    cum_d AS (SELECT day_s, idx,
+                     sum(cnt) OVER (PARTITION BY day_s ORDER BY idx) AS cum,
+                     sum(cnt) OVER (PARTITION BY day_s) AS n_vals FROM daily_d),
+    hit_c AS (SELECT day_s, p_pct, n_vals::BIGINT AS n_vals, min(idx) AS idx
+              FROM cum_c, pcts WHERE cum >= (n_vals * p_pct + 99) // 100
+              GROUP BY 1, 2, 3),
+    hit_d AS (SELECT day_s, p_pct, min(idx) AS idx
+              FROM cum_d, pcts WHERE cum >= (n_vals * p_pct + 99) // 100
+              GROUP BY 1, 2),
+    q_c AS (SELECT day_s, p_pct, n_vals,
+                   round(({hdr_lower_sql('idx')}) / 100.0, 4) + 0.0 AS q_est
+            FROM hit_c),
+    q_d AS (SELECT day_s, p_pct,
+                   round(({hdr_lower_sql('idx')}) / 100.0, 4) + 0.0 AS q_est_direct
+            FROM hit_d),
+    exact0 AS (SELECT epoch(date_trunc('day', ts))::BIGINT AS day_s,
+                      round(quantile_cont(value, 0.5), 4) + 0.0 AS q50,
+                      round(quantile_cont(value, 0.95), 4) + 0.0 AS q95,
+                      round(quantile_cont(value, 0.99), 4) + 0.0 AS q99
+               FROM events WHERE value > 0 GROUP BY 1),
+    exact AS (SELECT day_s, 50 AS p_pct, q50 AS q_exact FROM exact0
+              UNION ALL SELECT day_s, 95, q95 FROM exact0
+              UNION ALL SELECT day_s, 99, q99 FROM exact0)
+    SELECT day_s, p_pct, c.n_vals, c.q_est, d.q_est_direct, x.q_exact
+    FROM q_c c JOIN q_d d USING (day_s, p_pct) JOIN exact x USING (day_s, p_pct)
+    """,
+)
+def hdr_value_quantiles(spark, sf_dir):
+    """Cascadable quantiles: per-day p50/p95/p99 of `value` from an
+    HDR-histogram sketch (log2 buckets + 4 linear sub-bucket bits, ≤1/16
+    relative error), the daily bucket counts produced BOTH directly and by
+    SUM over the hourly bucket tier — percentile() itself cannot cascade
+    (A8's exact form re-scans raw data per window); bucket counts can, and
+    at 10^12 rows the tier chain touches only windows × ~200-row sketch
+    tables past the first aggregation. The target rank is integer
+    ceil(n·p/100) — no float rank — and buckets come from bin()-length, so
+    the picked bucket and its decoded lower bound replay bit-exactly in
+    DuckDB; the exact interpolated percentile rides along per row (Spark
+    percentile == DuckDB quantile_cont) making the ≤1/16 envelope visible
+    in the verified output. operators/sketches.py."""
+    return hdr_daily_quantiles(_read(spark, sf_dir, "events"), value="value")
+
+
+# Round-8 rotation's checksum carrier: the 13 entries that banked fresh
 # green driver rows in CORRECTNESS_r07 rotate out to make cap room for the
-# 9 r5-evidence promotions + phase_residues + nearest_point; each keeps an
+# 9 r5-evidence promotions + phase_residues + nearest_point (and, late-r8,
+# the two sketch-cascade entries); each keeps an
 # in-cap (n_rows, chk) row here. Floats are already rounded to 4/6 dp by
 # each sibling's own contract, so cast(round(v * 10^dp, 0) as bigint) is an
 # exact integer lift in both dialects (see the block comment above
@@ -2724,6 +2855,13 @@ _SUITE_ROWEXPR_4 = {
     "semi_anti_join": "length(side) + n",
     "value_histogram": "length(event_type) + bin + n"
                        " + coalesce(cast(round(sum_value * 10000, 0) as bigint), 0)",
+    # late-r8 demotions: cap room for the two sketch-cascade entries. Both
+    # banked green r7 rows and keep an in-cap sibling per SURVEY row
+    # (P5: lc_window_stats; A9/O3: topk_per_group + nearest_point).
+    "sessionize": "user_id + n_sessions",
+    "kappa_grid": "length(source) + n_triplets"
+                  " + coalesce(cast(round(best_kappa * 10000, 0) as bigint), 0)"
+                  " + coalesce(cast(round(best_r2 * 1000000, 0) as bigint), 0)",
 }
 
 
@@ -2758,8 +2896,11 @@ def _suite_df(spark, sf_dir, rowexprs: dict[str, str]) -> DataFrame:
 
 @register("demoted_suite_4", _suite_oracle(_SUITE_ROWEXPR_4))
 def demoted_suite_4(spark, sf_dir):
-    """Suite checksum over the 11 entries rotated out in round 8 (see
+    """Suite checksum over the 13 entries rotated out in round 8 (see
     _SUITE_ROWEXPR_4) — each banked a direct green driver row in r7.
+    The last two (sessionize, kappa_grid) rotated late-r8 to make cap room
+    for the sketch-cascade entries; their SURVEY rows keep in-cap direct
+    siblings (lc_window_stats; topk_per_group + nearest_point).
     (`demoted_suite` and `demoted_suite_2`, the r6/r7 carriers, were
     retired in rounds 7/8 respectively: every member promoted back inside
     the cap for direct rows.)"""
@@ -2817,9 +2958,12 @@ DRIVER_PRIORITY = [
     "phase_residues",
     # r6 graduate (green r6 banked) rotated back for a fresh direct row
     "nearest_point",
-    # checksum carriers: fresh per-entry evidence for 24 demoted siblings
+    # the round-8 sketch cascades (first direct rows; never verified)
+    "hll_user_cascade",
+    "hdr_value_quantiles",
+    # checksum carriers: fresh per-entry evidence for 26 demoted siblings
     "demoted_suite_3",   # the r6 graduates still past the cap (green r6)
-    "demoted_suite_4",   # the 11 entries rotated out this round (green r7)
+    "demoted_suite_4",   # the 13 entries rotated out this round (green r7)
 ]
 
 # Oracle-bearing entries past the cap this round. Every entry here is a
@@ -2867,6 +3011,9 @@ DRIVER_DEMOTED = [
     "intensity_db",
     "semi_anti_join",
     "value_histogram",
+    # late-r8: cap room for hll_user_cascade + hdr_value_quantiles
+    "sessionize",
+    "kappa_grid",
 ]
 
 

@@ -1,0 +1,232 @@
+"""Mergeable sketch aggregates for continuous rollups: HyperLogLog distinct
+counts and HDR-histogram quantiles, both CASCADABLE across retention tiers.
+
+The reference's tier outputs are all exact aggregates (sums/counts/means,
+covsar/closure_inten.py epoch rollups); at 10^12-sequence scale the two
+aggregates every telemetry/retention engine also needs — distinct counts
+and quantiles — cannot be cascaded exactly (distinct and percentile are not
+associative). The engine answer is mergeable sketches whose MERGE IS an
+associative built-in aggregate, so the 1m→1h→1d cascade path (A7,
+operators/rollup.py cascade) applies to them unchanged:
+
+  * HyperLogLog (Flajolet et al. 2007): per-window register table, merge =
+    MAX per register. m=256 registers (p=8, std err ~6.5%).
+  * HDR histogram (HdrHistogram's log2-bucket + linear-subbucket layout,
+    here 4 sub-bucket bits → quantile relative error ≤ 1/16): per-window
+    bucket counts, merge = SUM per bucket.
+
+Everything is INTEGER arithmetic in JVM-side built-ins (no UDFs, no
+float-log bucketing): the hash is the repo's shared md5→int lift
+(conv(substr(md5(x),1,10),16,10), ≤2^40 so DuckDB's ('0x'||…)::BIGINT
+replays it), and floor(log2(x)) is length(bin(x))-1 — a string op on an
+integer, bit-identical in Spark and DuckDB, immune to the libm last-ulp
+trap a float log2 would carry near power-of-two boundaries. The bucket
+math lives in SQL fragment builders SHARED VERBATIM by the Spark plan
+(F.expr) and the DuckDB oracle (covsar_spark/contract.py), so the two
+sides cannot drift. The only float steps are the final HLL estimator
+(dyadic 2^-M sums are exact in float64; the ln() in the linear-counting
+branch is absorbed by 4dp rounding) — hence the whole pipeline, cascade
+included, carries an EXACT cross-engine oracle, not an approximate one.
+
+Scale shape: raw→register/bucket aggregation is one map-side-combinable
+shuffle keyed (window, register|bucket); the cascade reads only the finer
+tier's sketch table (tiny: windows × ≤256 rows) — the raw table is scanned
+once per tier chain, exactly like the rollup cascade. The per-window
+estimator/quantile pass groups a few hundred rows per window; the cum-sum
+window partitions by day over ≤~200 bucket rows (not the
+whole-partition-window trap class).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.window import Window as W
+
+# HLL geometry: p=8 → m=256 registers from the low 8 bits of a 40-bit
+# md5-derived hash; the remaining q=32 bits feed the rank (leading-zero
+# count + 1, i.e. 33 - bit_length(w), with w=0 → rank q+1=33).
+HLL_M = 256
+HLL_Q = 32
+# HDR geometry: values lift to integers at 2 decimals (floor(v*100));
+# buckets are exact below v_int=32, width ≤ lower_bound/16 above.
+HDR_SCALE = 100
+HDR_SUB_BITS = 4
+
+
+def hll_reg_sql(h: str) -> str:
+    """Register index from a 40-bit integer hash expression (dialect-shared)."""
+    return f"(({h}) & {HLL_M - 1})"
+
+
+def hll_rank_sql(h: str) -> str:
+    """Rank from a 40-bit integer hash expression (dialect-shared): the
+    leading-zero count of the top 32 bits plus one, via bin-length."""
+    w = f"(({h}) >> 8)"
+    return f"(CASE WHEN {w} = 0 THEN {HLL_Q + 1} ELSE {HLL_Q + 1} - length(bin({w})) END)"
+
+
+def hdr_index_sql(v: str) -> str:
+    """HDR bucket index of a positive integer expression (dialect-shared):
+    identity below 32, else 32 + 16·(bit_length−6) + the 4 bits after the
+    leading 1. Pure integer ops (bin/>>/&)."""
+    b = f"length(bin({v}))"
+    return (
+        f"(CASE WHEN {v} < 32 THEN {v}"
+        f" ELSE 32 + ({b} - 6) * 16 + ((({v}) >> ({b} - {HDR_SUB_BITS + 1})) & 15) END)"
+    )
+
+
+def hdr_lower_sql(i: str) -> str:
+    """Inverse of hdr_index_sql: the bucket's inclusive lower bound.
+
+    Integer division is spelled floor(x/16.0) because the dialects disagree
+    on `/` (both widen to DOUBLE) but CAST rounds in DuckDB and truncates
+    in Spark; floor of an exact small quotient is identical in both."""
+    e = f"CAST(floor((({i}) - 32) / 16.0) AS INT)"
+    return (
+        f"(CASE WHEN {i} < 32 THEN {i}"
+        f" ELSE (16 + (({i}) - 32) % 16) << ({e} + 1) END)"
+    )
+
+
+def _spark_hash40(col: str) -> str:
+    return f"CAST(conv(substr(md5(CAST({col} AS STRING)), 1, 10), 16, 10) AS BIGINT)"
+
+
+def hll_estimate(registers: DataFrame, group_cols: list[str], m: int = HLL_M) -> DataFrame:
+    """Estimator over a register table (group_cols…, reg, m_rank).
+
+    Standard HLL: alpha·m²/Σ2^−M with absent registers contributing 2⁰,
+    linear-counting fallback m·ln(m/V) when the raw estimate ≤ 2.5m and
+    V>0. The 2^−M sum is exact float64 (dyadic, ≥2^−33, <2^8); the branch
+    compares the raw estimate ROUNDED to 6dp so a last-ulp wobble cannot
+    flip engines onto different branches; the final value rounds to 4dp
+    (absorbs the ln ulp) — hence SQL-replayable bit-for-bit.
+    """
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    g = registers.groupBy(*group_cols).agg(
+        F.count("*").alias("present"),
+        F.sum(F.pow(F.lit(2.0), -F.col("m_rank"))).alias("sumpow"),
+    )
+    e_raw = F.lit(alpha * m * m) / ((F.lit(m) - F.col("present")) + F.col("sumpow"))
+    v = (F.lit(m) - F.col("present")).cast("long")
+    est = F.when(
+        (F.round(e_raw, 6) <= F.lit(2.5 * m)) & (v > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v),
+    ).otherwise(e_raw)
+    return g.select(
+        *group_cols,
+        F.col("present").cast("long").alias("present"),
+        (F.round(est, 4) + F.lit(0.0)).alias("est"),
+    )
+
+
+def hll_daily_cascade(events: DataFrame, key: str = "user_id") -> DataFrame:
+    """Per-day distinct-key HLL, computed BOTH ways — directly from raw rows
+    and by cascading hourly register tables through a per-register MAX (the
+    tier path: the same associative merge serves 1m→1h→1d and any longer
+    chain) — plus the exact distinct count for visible calibration. The two
+    estimates are bitwise equal by construction (max is associative); both
+    are emitted so the driver hash pins the cascade implementation, not
+    just the algebra. Shuffles: one (day,hour,reg) map-side-combined agg,
+    one (day,reg) merge over the tiny register table, one per-day
+    estimator pass; the direct leg re-scans raw only to prove parity.
+    """
+    h = _spark_hash40(key)
+    keyed = events.selectExpr(
+        "unix_timestamp(date_trunc('day', ts)) AS day_s",
+        "unix_timestamp(date_trunc('hour', ts)) AS hour_s",
+        f"{hll_reg_sql(h)} AS reg",
+        f"CAST({hll_rank_sql(h)} AS INT) AS rank",
+    )
+    hourly = keyed.groupBy("day_s", "hour_s", "reg").agg(F.max("rank").alias("m_rank"))
+    daily_cascaded = hourly.groupBy("day_s", "reg").agg(F.max("m_rank").alias("m_rank"))
+    daily_direct = keyed.groupBy("day_s", "reg").agg(F.max("rank").alias("m_rank"))
+
+    est_c = hll_estimate(daily_cascaded, ["day_s"]).withColumnRenamed("est", "est_cascade")
+    est_d = (
+        hll_estimate(daily_direct, ["day_s"])
+        .withColumnRenamed("est", "est_direct")
+        .drop("present")
+    )
+    exact = events.groupBy(
+        F.unix_timestamp(F.date_trunc("day", F.col("ts"))).alias("day_s")
+    ).agg(F.countDistinct(key).alias("n_exact"))
+    return (
+        exact.join(est_d, "day_s")
+        .join(est_c, "day_s")
+        .select("day_s", "n_exact", "present", "est_direct", "est_cascade")
+    )
+
+
+def hdr_daily_quantiles(
+    events: DataFrame, value: str = "value", pcts: tuple[int, ...] = (50, 95, 99)
+) -> DataFrame:
+    """Per-day quantile estimates from an HDR bucket-count sketch, cascaded
+    hourly→daily by bucket-count SUM, alongside the direct daily sketch and
+    the exact interpolated percentile for calibration. The target rank is
+    the integer ceil(n·p/100) via (n·p+99) DIV 100 — no float rank, so the
+    picked bucket is bit-identical across engines; the estimate is the
+    bucket lower bound, guaranteeing q_est ≤ exact and exact < q_est·(1+1/16)
+    + one value-grid step above v_int=31 (exact at or below).
+    """
+    v_int = f"CAST(floor({value} * {HDR_SCALE}) AS BIGINT)"
+    keyed = events.where(F.col(value) > 0).selectExpr(
+        "unix_timestamp(date_trunc('day', ts)) AS day_s",
+        "unix_timestamp(date_trunc('hour', ts)) AS hour_s",
+        f"CAST({hdr_index_sql(v_int)} AS BIGINT) AS idx",
+    )
+    hourly = keyed.groupBy("day_s", "hour_s", "idx").agg(F.count("*").alias("cnt"))
+    daily_cascaded = hourly.groupBy("day_s", "idx").agg(F.sum("cnt").alias("cnt"))
+    daily_direct = keyed.groupBy("day_s", "idx").agg(F.count("*").alias("cnt"))
+
+    def pick(buckets: DataFrame, out_col: str) -> DataFrame:
+        w = W.partitionBy("day_s").orderBy("idx")
+        cum = buckets.select(
+            "day_s",
+            "idx",
+            F.sum("cnt").over(w).alias("cum"),
+            F.sum("cnt").over(W.partitionBy("day_s")).alias("n_vals"),
+        )
+        c = cum.select(
+            "day_s", "idx", "cum", "n_vals",
+            F.explode(F.array(*[F.lit(x) for x in pcts])).alias("p_pct"),
+        )
+        hit = (
+            c.where(F.col("cum") >= F.expr("(n_vals * p_pct + 99) DIV 100"))
+            .groupBy("day_s", "p_pct", "n_vals")
+            .agg(F.min("idx").alias("idx"))
+        )
+        # CAST-to-DOUBLE before dividing: a bare `/ 100.0` literal is
+        # DECIMAL in Spark (memory-documented trap) and would emit Decimal
+        # objects; the oracle's DuckDB `/ 100.0` is already float division
+        # of the same integers, so the two stay bit-identical.
+        q = f"round(CAST({hdr_lower_sql('idx')} AS DOUBLE) / {HDR_SCALE}, 4) + CAST(0.0 AS DOUBLE)"
+        return hit.selectExpr("day_s", "p_pct", "n_vals", f"{q} AS {out_col}")
+
+    casc = pick(daily_cascaded, "q_est")
+    direct = pick(daily_direct, "q_est_direct").drop("n_vals")
+    exact = events.where(F.col(value) > 0).groupBy(
+        F.unix_timestamp(F.date_trunc("day", F.col("ts"))).alias("day_s")
+    ).agg(
+        *[
+            (F.round(F.expr(f"percentile({value}, {x / 100.0})"), 4) + F.lit(0.0)).alias(
+                f"q{x}_exact"
+            )
+            for x in pcts
+        ]
+    )
+    exact_long = exact.select(
+        "day_s",
+        F.explode(
+            F.map_from_arrays(
+                F.array(*[F.lit(x) for x in pcts]),
+                F.array(*[F.col(f"q{x}_exact") for x in pcts]),
+            )
+        ).alias("p_pct", "q_exact"),
+    )
+    return (
+        casc.join(direct, ["day_s", "p_pct"])
+        .join(exact_long, ["day_s", "p_pct"])
+        .select("day_s", "p_pct", "n_vals", "q_est", "q_est_direct", "q_exact")
+    )

@@ -344,3 +344,40 @@ def test_phase_residues_plan_shape(spark):
     assert plan.count("FlatMapGroupsInPandas") == 1
     assert "Generate explode" in plan
     assert "HashAggregate" in plan
+
+
+def test_hll_cascade_plan_shape(spark):
+    """Sketch scale shape: every leg is a map-side-combined hash aggregate
+    (partial_max on registers before its exchange), the per-day estimator
+    tables join via broadcast (≤ windows rows), and nothing sort-merges or
+    windows over raw rows."""
+    from covsar_spark.contract import QUERIES
+
+    plan = _plan(QUERIES["hll_user_cascade"](spark, "/root/testdata/sf0.001"))
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "partial_max" in plan  # register merge combines map-side
+    assert "Window" not in plan
+
+
+def test_hdr_quantiles_plan_shape(spark):
+    """The cum-sum windows must run over the aggregated bucket tables, not
+    raw rows: every Window sits above a HashAggregate in the plan tree, and
+    the raw scans feed partial counts (map-side combine) first."""
+    from covsar_spark.contract import QUERIES
+
+    plan = _plan(QUERIES["hdr_value_quantiles"](spark, "/root/testdata/sf0.001"))
+    assert "SortMergeJoin" not in plan
+    assert "partial_count" in plan
+    # raw rows never hit a Window operator directly: each Window's subtree
+    # below it must already contain an aggregate (bucket table), which shows
+    # up as no Window line preceding the first HashAggregate bottom-up
+    lines = plan.splitlines()
+    scan_idx = [i for i, ln in enumerate(lines) if "Scan parquet" in ln]
+    win_idx = [i for i, ln in enumerate(lines) if "Window" in ln]
+    agg_idx = [i for i, ln in enumerate(lines) if "HashAggregate" in ln]
+    # every Window appears above (earlier than) some aggregate that sits
+    # between it and the scans below — i.e. windows are post-aggregation
+    assert win_idx and scan_idx
+    for w in win_idx:
+        assert any(w < a < max(scan_idx) for a in agg_idx)

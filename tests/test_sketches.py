@@ -1,0 +1,183 @@
+"""Sketch-cascade invariants (operators/sketches.py): HLL distinct counts
+and HDR-histogram quantiles must (a) merge associatively so any tier chain
+yields the SAME sketch as a direct build, (b) estimate within their declared
+error envelopes against exact answers, and (c) keep every bucket/register
+computation integer-exact (the cross-engine contract oracle relies on it).
+The exact-parity surface is the contract entries (hll_user_cascade /
+hdr_value_quantiles vs DuckDB); these tests pin the math itself on
+synthetic data where the truth is known by construction.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from covsar_spark.operators.sketches import (
+    HDR_SCALE,
+    HLL_M,
+    HLL_Q,
+    hdr_daily_quantiles,
+    hll_daily_cascade,
+)
+
+DAY = 86400
+
+
+def _events(spark, n_days=4, per_day=600, n_users=300, seed=7):
+    rng = np.random.default_rng(seed)
+    rows = []
+    for d in range(n_days):
+        for _ in range(per_day):
+            sec = int(rng.integers(0, DAY))
+            rows.append(
+                (
+                    pd.Timestamp("2024-03-01") + pd.Timedelta(seconds=d * DAY + sec),
+                    int(rng.integers(0, n_users)),
+                    float(np.round(rng.lognormal(2.0, 1.0), 2) + 0.01),
+                )
+            )
+    pdf = pd.DataFrame(rows, columns=["ts", "user_id", "value"])
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_hll_cascade_equals_direct_and_tracks_exact(spark):
+    """The hourly→daily register MAX must reproduce the direct daily build
+    bit-for-bit (associativity of max), and the estimate must sit within
+    the m=256 error envelope of the true distinct count."""
+    df, pdf = _events(spark)
+    out = hll_daily_cascade(df, key="user_id").orderBy("day_s").toPandas()
+    assert len(out) == 4
+    assert (out["est_cascade"] == out["est_direct"]).all()
+    truth = (
+        pdf.assign(day=pdf["ts"].dt.floor("D"))
+        .groupby("day")["user_id"]
+        .nunique()
+        .to_numpy()
+    )
+    assert (out["n_exact"].to_numpy() == truth).all()
+    # 1.04/sqrt(256) ~ 6.5% std err; allow 4 sigma plus small-n slack
+    rel = np.abs(out["est_cascade"].to_numpy() - truth) / truth
+    assert rel.max() < 0.26, rel
+
+
+def test_hll_register_table_matches_numpy_oracle(spark):
+    """The register/rank columns are a pure function of md5 — replay them
+    row-by-row in Python (hashlib) and compare the daily register table."""
+    import hashlib
+
+    df, pdf = _events(spark, n_days=1, per_day=200, n_users=120)
+    daily = (
+        hll_daily_cascade(df, key="user_id")
+        .select("day_s", "present")
+        .toPandas()
+    )
+    regs: dict[int, int] = {}
+    for u in pdf["user_id"]:
+        h = int(hashlib.md5(str(u).encode()).hexdigest()[:10], 16)
+        reg, w = h & (HLL_M - 1), h >> 8
+        rank = (HLL_Q + 1) - w.bit_length() if w else HLL_Q + 1
+        regs[reg] = max(regs.get(reg, 0), rank)
+    assert daily["present"].iloc[0] == len(regs)
+
+
+def test_hll_estimator_formula_pinned(spark):
+    """Small-range (linear counting) branch: with n distinct ≪ m the
+    estimate must equal m·ln(m/V) exactly for the observed V."""
+    pdf = pd.DataFrame(
+        {
+            "ts": [pd.Timestamp("2024-03-01 00:00:05")] * 8,
+            "user_id": list(range(8)),
+            "value": [1.0] * 8,
+        }
+    )
+    out = hll_daily_cascade(spark.createDataFrame(pdf), key="user_id").toPandas()
+    present = int(out["present"].iloc[0])
+    v = HLL_M - present
+    expect = round(HLL_M * math.log(HLL_M / v), 4)
+    assert out["est_direct"].iloc[0] == pytest.approx(expect, abs=1e-9)
+
+
+def test_hdr_cascade_equals_direct_and_bounds_exact(spark):
+    """Bucket-count SUM across hours must equal the direct daily sketch,
+    and the lower-bound quantile must satisfy q_est ≤ exact < q_est·(1+1/16)
+    + one value-grid step (the declared HDR envelope)."""
+    df, _ = _events(spark, n_days=3, per_day=800)
+    out = hdr_daily_quantiles(df).orderBy("day_s", "p_pct").toPandas()
+    assert len(out) == 9
+    assert (out["q_est"] == out["q_est_direct"]).all()
+    assert (out["q_est"] <= out["q_exact"] + 1e-9).all()
+    ceiling = out["q_est"] * (1 + 1 / 16) + 2.0 / HDR_SCALE
+    assert (out["q_exact"] < ceiling).all(), out
+
+
+def test_hdr_bucket_roundtrip_integer_exact(spark):
+    """hdr_index/hdr_lower must roundtrip: lower(idx(v)) ≤ v and v sits in
+    a bucket of width ≤ max(1, lower/16) — checked densely over the small
+    range and loggy samples above it, via the SAME SQL fragments the plan
+    and the oracle use."""
+    from covsar_spark.operators.sketches import hdr_index_sql, hdr_lower_sql
+
+    vals = list(range(1, 600)) + [2**k + j for k in range(10, 16) for j in (0, 1, 7)]
+    df = spark.createDataFrame(pd.DataFrame({"v": vals}))
+    got = df.selectExpr(
+        "v",
+        f"CAST({hdr_index_sql('v')} AS BIGINT) AS idx",
+    ).selectExpr("v", "idx", f"CAST({hdr_lower_sql('idx')} AS BIGINT) AS lb").toPandas()
+    assert (got["lb"] <= got["v"]).all()
+    width = np.maximum(1, got["lb"] // 16)
+    assert (got["v"] < got["lb"] + width).all()
+    # idx must be monotone in v
+    g = got.sort_values("v")
+    assert (np.diff(g["idx"].to_numpy()) >= 0).all()
+
+
+def test_hll_streaming_register_merge(spark, tmp_path):
+    """The register table is a standard max-aggregate, so it runs under
+    Structured Streaming unchanged: a file-source stream over the same rows
+    must produce the identical daily register merge (the tier path's
+    streaming form — sketch mergeability IS streaming compatibility)."""
+    from pyspark.sql import functions as F
+
+    df, _ = _events(spark, n_days=2, per_day=300)
+    src = str(tmp_path / "ev")
+    df.coalesce(2).write.parquet(src)
+
+    batch = hll_daily_cascade(spark.read.parquet(src)).orderBy("day_s")
+    b = batch.toPandas()
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .parquet(src)
+        .withWatermark("ts", "0 seconds")
+    )
+    from covsar_spark.operators.sketches import _spark_hash40, hll_rank_sql, hll_reg_sql
+
+    h = _spark_hash40("user_id")
+    keyed = stream.selectExpr(
+        "ts",
+        "unix_timestamp(date_trunc('day', ts)) AS day_s",
+        f"{hll_reg_sql(h)} AS reg",
+        f"CAST({hll_rank_sql(h)} AS INT) AS rank",
+    )
+    agg = keyed.groupBy("day_s", "reg").agg(F.max("rank").alias("m_rank"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("hll_regs")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    from covsar_spark.operators.sketches import hll_estimate
+
+    s = (
+        hll_estimate(spark.table("hll_regs"), ["day_s"])
+        .orderBy("day_s")
+        .toPandas()
+    )
+    assert (s["est"].to_numpy() == b["est_direct"].to_numpy()).all()
+    assert (s["present"].to_numpy() == b["present"].to_numpy()).all()
