@@ -181,3 +181,124 @@ def test_hll_streaming_register_merge(spark, tmp_path):
     )
     assert (s["est"].to_numpy() == b["est_direct"].to_numpy()).all()
     assert (s["present"].to_numpy() == b["present"].to_numpy()).all()
+
+
+def test_hdr_streaming_bucket_merge(spark, tmp_path):
+    """HDR's merge is a SUM — the streaming form of the bucket tier must
+    equal the batch daily sketch (the second half of 'mergeable IS
+    streaming-compatible'; the HLL sibling above covers max)."""
+    from pyspark.sql import functions as F
+
+    from covsar_spark.operators.sketches import hdr_index_sql
+
+    df, _ = _events(spark, n_days=2, per_day=300, seed=11)
+    src = str(tmp_path / "ev_hdr")
+    df.coalesce(2).write.parquet(src)
+
+    v_int = "CAST(floor(value * 100) AS BIGINT)"
+    batch = (
+        spark.read.parquet(src)
+        .where(F.col("value") > 0)
+        .selectExpr(
+            "unix_timestamp(date_trunc('day', ts)) AS day_s",
+            f"CAST({hdr_index_sql(v_int)} AS BIGINT) AS idx",
+        )
+        .groupBy("day_s", "idx")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("day_s", "idx")
+        .toPandas()
+    )
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .parquet(src)
+        .withWatermark("ts", "0 seconds")
+    )
+    agg = (
+        stream.where(F.col("value") > 0)
+        .selectExpr(
+            "ts",
+            "unix_timestamp(date_trunc('day', ts)) AS day_s",
+            f"CAST({hdr_index_sql(v_int)} AS BIGINT) AS idx",
+        )
+        .groupBy("day_s", "idx")
+        .agg(F.count("*").alias("cnt"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("hdr_buckets")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("hdr_buckets").orderBy("day_s", "idx").toPandas()
+    assert (got.to_numpy() == batch.to_numpy()).all()
+
+
+def test_hll_register_tier_rides_write_tier_and_retention(spark, tmp_path):
+    """The sketch register table is a first-class retention tier: it
+    carries (source, epoch_s) like every rollup, so write_tier's day
+    partitioning and apply_retention's day drops work unchanged — and the
+    estimator over the SURVIVING registers equals a fresh build over the
+    raw rows that survive the same cutoff (sketch tiers expire without
+    touching raw data)."""
+    from pyspark.sql import functions as F
+
+    from covsar_spark.operators.sketches import (
+        _spark_hash40,
+        hll_estimate,
+        hll_rank_sql,
+        hll_reg_sql,
+    )
+    from covsar_spark.sources.tables import apply_retention, read_tier, write_tier
+
+    df, _ = _events(spark, n_days=4, per_day=400, seed=23)
+    ev = df.withColumn("source", (F.col("user_id") % 3).cast("string"))
+
+    h = _spark_hash40("user_id")
+    hourly = (
+        ev.selectExpr(
+            "source",
+            "unix_timestamp(date_trunc('hour', ts)) AS epoch_s",
+            f"{hll_reg_sql(h)} AS reg",
+            f"CAST({hll_rank_sql(h)} AS INT) AS rank",
+        )
+        .groupBy("source", "epoch_s", "reg")
+        .agg(F.max("rank").alias("m_rank"))
+    )
+    path = str(tmp_path / "hll_tier_1h")
+    write_tier(hourly, path, "1h")
+
+    # drop the first two days from the SKETCH tier only
+    cutoff = int(ev.agg(F.min(F.unix_timestamp("ts"))).collect()[0][0]) + 2 * 86400
+    cutoff -= cutoff % 86400
+    metrics = apply_retention(spark, path, cutoff)
+    assert metrics["dropped_days"] and metrics["kept_days"]
+
+    surviving = read_tier(spark, path)
+    merged = (
+        hll_estimate(
+            surviving.groupBy("source", "reg").agg(F.max("m_rank").alias("m_rank")),
+            ["source"],
+        )
+        .orderBy("source")
+        .toPandas()
+    )
+    fresh = (
+        hll_estimate(
+            ev.where(F.unix_timestamp("ts") >= cutoff)
+            .selectExpr(
+                "source",
+                f"{hll_reg_sql(h)} AS reg",
+                f"CAST({hll_rank_sql(h)} AS INT) AS m_rank",
+            )
+            .groupBy("source", "reg")
+            .agg(F.max("m_rank").alias("m_rank")),
+            ["source"],
+        )
+        .orderBy("source")
+        .toPandas()
+    )
+    assert (merged["est"].to_numpy() == fresh["est"].to_numpy()).all()
+    assert (merged["present"].to_numpy() == fresh["present"].to_numpy()).all()
