@@ -230,3 +230,20 @@ def hdr_daily_quantiles(
         .join(exact_long, ["day_s", "p_pct"])
         .select("day_s", "p_pct", "n_vals", "q_est", "q_est_direct", "q_exact")
     )
+
+
+def hdr_index_py(v: int) -> int:
+    """Pure-Python mirror of hdr_index_sql — the property-test oracle
+    (tests/test_properties.py drives it to 2^52; tests/test_sketches.py
+    pins the SQL fragment against it on random samples)."""
+    if v < 32:
+        return v
+    b = v.bit_length()
+    return 32 + (b - 6) * 16 + ((v >> (b - (HDR_SUB_BITS + 1))) & 15)
+
+
+def hdr_lower_py(i: int) -> int:
+    """Pure-Python mirror of hdr_lower_sql."""
+    if i < 32:
+        return i
+    return (16 + (i - 32) % 16) << ((i - 32) // 16 + 1)

@@ -317,3 +317,26 @@ def test_unwrap2d_masked_recovers_with_never_adjacent_holes(h, w, ax, ay, seed):
     obs = m > 0
     phi = masked_ls_unwrap_grid(wrap_np(true), m, tol=1e-12)
     np.testing.assert_allclose(phi[obs], true[obs] - true[obs].mean(), atol=1e-7)
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(min_value=1, max_value=2**52))
+def test_hdr_bucket_roundtrip_property(v):
+    """HDR bucket invariants over the full integer range the sketch can
+    see: lower(idx(v)) ≤ v < lower + max(1, lower/16) — the ≤1/16 relative
+    quantile error bound follows directly."""
+    from covsar_spark.operators.sketches import hdr_index_py, hdr_lower_py
+
+    idx = hdr_index_py(v)
+    lb = hdr_lower_py(idx)
+    assert lb <= v < lb + max(1, lb // 16)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.integers(min_value=1, max_value=2**52 - 1))
+def test_hdr_bucket_monotone_property(v):
+    """Bucket index is monotone: idx(v) ≤ idx(v+1) — quantile picks can
+    never invert neighboring values."""
+    from covsar_spark.operators.sketches import hdr_index_py
+
+    assert hdr_index_py(v) <= hdr_index_py(v + 1)

@@ -302,3 +302,30 @@ def test_hll_register_tier_rides_write_tier_and_retention(spark, tmp_path):
     )
     assert (merged["est"].to_numpy() == fresh["est"].to_numpy()).all()
     assert (merged["present"].to_numpy() == fresh["present"].to_numpy()).all()
+
+
+def test_hdr_sql_fragment_matches_python_mirror(spark):
+    """The dialect-shared SQL fragments and the pure-Python property-test
+    oracle must agree on random 52-bit integers (one Spark batch, fixed
+    seed) — ties the hypothesis-verified invariants to the fragments the
+    plan and the DuckDB oracle actually execute."""
+    from covsar_spark.operators.sketches import (
+        hdr_index_py,
+        hdr_index_sql,
+        hdr_lower_py,
+        hdr_lower_sql,
+    )
+
+    rng = np.random.default_rng(99)
+    vals = [int(v) for v in rng.integers(1, 2**52, size=500)]
+    df = spark.createDataFrame(pd.DataFrame({"v": vals}))
+    got = (
+        df.selectExpr("v", f"CAST({hdr_index_sql('v')} AS BIGINT) AS idx")
+        .selectExpr("v", "idx", f"CAST({hdr_lower_sql('idx')} AS BIGINT) AS lb")
+        .orderBy("v")
+        .toPandas()
+    )
+    expect_idx = [hdr_index_py(v) for v in sorted(vals)]
+    expect_lb = [hdr_lower_py(i) for i in expect_idx]
+    assert got["idx"].tolist() == expect_idx
+    assert got["lb"].tolist() == expect_lb
