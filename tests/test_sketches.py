@@ -329,3 +329,60 @@ def test_hdr_sql_fragment_matches_python_mirror(spark):
     expect_lb = [hdr_lower_py(i) for i in expect_idx]
     assert got["idx"].tolist() == expect_idx
     assert got["lb"].tolist() == expect_lb
+
+
+def test_hll_register_stream_restart_exactly_once(spark, tmp_path):
+    """A restarted register stream must resume from its checkpoint: the
+    second invocation (after later-time data arrives) appends ONLY
+    newly-finalized windows — no re-read, no re-emit, no clobber — and
+    every emitted row equals the batch register build for its window."""
+    from pyspark.sql import functions as F
+
+    from covsar_spark.operators.sketches import (
+        _spark_hash40,
+        hll_rank_sql,
+        hll_reg_sql,
+    )
+    from covsar_spark.streaming.sketch_stream import run_hll_register_stream
+
+    df, pdf = _events(spark, n_days=4, per_day=500, seed=31)
+    early = df.where(F.col("ts") < "2024-03-03").orderBy("ts").coalesce(1)
+    late = df.where(F.col("ts") >= "2024-03-03").orderBy("ts").coalesce(1)
+    src = str(tmp_path / "ev_stream")
+    early.write.parquet(src)
+
+    out = str(tmp_path / "tiers")
+    tier = run_hll_register_stream(spark, src, out)
+    first = spark.read.parquet(tier).toPandas()
+    assert len(first) > 0  # earlier windows finalized once the wm advanced
+
+    late.write.mode("append").parquet(src)
+    tier = run_hll_register_stream(spark, src, out)
+    second = spark.read.parquet(tier)
+    s = second.toPandas()
+
+    # strictly more windows, zero duplicate (epoch_s, reg) rows
+    assert len(s) > len(first)
+    dup = second.groupBy("epoch_s", "reg").count().filter("count > 1").count()
+    assert dup == 0, "restart re-emitted an already-finalized (window, reg)"
+    # first-run rows survive the restart byte-identically
+    merged = s.merge(first, on=["epoch_s", "reg"], suffixes=("", "_old"))
+    assert len(merged) == len(first)
+    assert (merged["m_rank"] == merged["m_rank_old"]).all()
+
+    # every emitted row equals the batch register build for its window
+    h = _spark_hash40("user_id")
+    batch = (
+        spark.read.parquet(src)
+        .selectExpr(
+            "unix_timestamp(date_trunc('hour', ts)) AS epoch_s",
+            f"{hll_reg_sql(h)} AS reg",
+            f"CAST({hll_rank_sql(h)} AS INT) AS rank",
+        )
+        .groupBy("epoch_s", "reg")
+        .agg(F.max("rank").alias("m_rank"))
+        .toPandas()
+    )
+    chk = s.merge(batch, on=["epoch_s", "reg"], suffixes=("", "_batch"))
+    assert len(chk) == len(s)
+    assert (chk["m_rank"] == chk["m_rank_batch"]).all()
