@@ -247,3 +247,50 @@ def hdr_lower_py(i: int) -> int:
     if i < 32:
         return i
     return (16 + (i - 32) % 16) << ((i - 32) // 16 + 1)
+
+
+def hll_union(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Union sketch across everything inside each group: the per-register
+    MAX — the same associative merge the tier cascade uses, here collapsing
+    a set dimension (e.g. source) instead of a time one. HLL register maxes
+    are EXACTLY the sketch of the union of the underlying sets, so
+    hll_estimate over the result estimates |A ∪ B ∪ …| with the same error
+    envelope as a direct sketch of the union."""
+    return registers.groupBy(*group_cols, "reg").agg(F.max("m_rank").alias("m_rank"))
+
+
+def hll_overlap(
+    registers: DataFrame,
+    set_col: str,
+    sets: tuple[str, str],
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Pairwise overlap estimation by inclusion–exclusion over a register
+    table carrying a two-valued ``set_col`` (e.g. two sources or two
+    datasets): |A ∩ B| ≈ est(A) + est(B) − est(A ∪ B), clamped at 0 —
+    the standard HLL audience-overlap / cross-dataset-contamination
+    estimator. The two set ids are explicit (no discovery scan — the plan
+    stays collect-free); rows under other ids are ignored. The error is
+    the union of the three estimates' errors, so small intersections of
+    large sets are noisy (inherent to inclusion–exclusion; declared, not
+    hidden). Emits per group: est_a/est_b (in ``sets`` order), est_union,
+    est_intersection."""
+    g = list(group_cols or [])
+    a, b = sets
+    registers = registers.where(F.col(set_col).isin(a, b))
+    per_set = hll_estimate(registers, g + [set_col]).drop("present")
+    est_a = per_set.where(F.col(set_col) == a).drop(set_col).withColumnRenamed("est", "est_a")
+    est_b = per_set.where(F.col(set_col) == b).drop(set_col).withColumnRenamed("est", "est_b")
+    est_u = (
+        hll_estimate(hll_union(registers, g), g)
+        .drop("present")
+        .withColumnRenamed("est", "est_union")
+    )
+    joined = (
+        est_u.join(est_a, g) if g else est_u.crossJoin(est_a)
+    )
+    joined = joined.join(est_b, g) if g else joined.crossJoin(est_b)
+    inter = F.greatest(
+        F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), 4), F.lit(0.0)
+    )
+    return joined.select(*g, "est_a", "est_b", "est_union", inter.alias("est_intersection"))

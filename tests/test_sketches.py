@@ -386,3 +386,57 @@ def test_hll_register_stream_restart_exactly_once(spark, tmp_path):
     chk = s.merge(batch, on=["epoch_s", "reg"], suffixes=("", "_batch"))
     assert len(chk) == len(s)
     assert (chk["m_rank"] == chk["m_rank_batch"]).all()
+
+
+def test_hll_union_and_overlap_estimates(spark):
+    """Set algebra on register tables: union = per-register MAX (must equal
+    a direct sketch of the union bit-for-bit), and inclusion–exclusion
+    overlap tracks the true intersection within the compounded error
+    envelope. Planted sets: A = [0, 3000), B = [2000, 6000) → |A∩B| = 1000,
+    |A∪B| = 6000."""
+    from pyspark.sql import functions as F
+
+    from covsar_spark.operators.sketches import (
+        _spark_hash40,
+        hll_estimate,
+        hll_overlap,
+        hll_rank_sql,
+        hll_reg_sql,
+        hll_union,
+    )
+
+    h = _spark_hash40("user_id")
+
+    def regs_of(df, extra):
+        return (
+            df.selectExpr("user_id", *extra)
+            .selectExpr(
+                *[e.split(" AS ")[-1] for e in extra],
+                f"{hll_reg_sql(h)} AS reg",
+                f"CAST({hll_rank_sql(h)} AS INT) AS rank",
+            )
+            .groupBy(*[e.split(" AS ")[-1] for e in extra], "reg")
+            .agg(F.max("rank").alias("m_rank"))
+        )
+
+    a = spark.range(0, 3000).selectExpr("id AS user_id", "'A' AS set_id")
+    b = spark.range(2000, 6000).selectExpr("id AS user_id", "'B' AS set_id")
+    both = a.unionByName(b)
+    regs = regs_of(both, ["set_id AS set_id"])
+
+    # union merge == direct sketch of the deduplicated union, bit-for-bit
+    u = hll_union(regs.drop("set_id"), [])
+    direct = regs_of(spark.range(0, 6000).selectExpr("id AS user_id", "'U' AS set_id"), [
+        "set_id AS set_id"
+    ]).drop("set_id")
+    got = u.orderBy("reg").toPandas()
+    want = direct.orderBy("reg").toPandas()
+    assert got.equals(want)
+
+    out = hll_overlap(regs, "set_id", ("A", "B")).toPandas().iloc[0]
+    assert abs(out["est_union"] - 6000) / 6000 < 0.2
+    assert abs(out["est_a"] - 3000) / 3000 < 0.2
+    # intersection compounds three estimates' errors: generous envelope,
+    # but it must land in the right order of magnitude and below min(a, b)
+    assert 200 < out["est_intersection"] < 2500
+    assert out["est_intersection"] <= min(out["est_a"], out["est_b"]) + 1e-9
