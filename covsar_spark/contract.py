@@ -180,6 +180,49 @@ def rollup_1d_cascade(spark, sf_dir):
     )
 
 
+@register(
+    "tier_refresh_1h",
+    """
+    SELECT event_type AS source,
+           epoch(date_trunc('hour', ts))::BIGINT AS epoch_s,
+           count(*)::BIGINT AS token_count,
+           round(sum(value), 4) AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def tier_refresh_1h(spark, sf_dir):
+    """Incremental dirty-window tier refresh (operators/refresh.py): a
+    deterministic 1/5 of events (crc32 of event_id) arrives LATE; the tier is
+    first built from on-time rows only, then repaired by recomputing exactly
+    the late batch's dirty (source, hour) windows — broadcast semi-join
+    bounds the re-scan, broadcast anti-join drops the stale rows, clean
+    windows are never recomputed. The oracle is the from-scratch full
+    rebuild: incremental must be row-identical to it, which is the entire
+    contract of the operator (the reference's answer is re-running the whole
+    stack loop, covsar/closure_inten.py:68-78)."""
+    from .operators.refresh import refresh_tier
+
+    ev = _read(spark, sf_dir, "events").select(
+        F.col("event_type").alias("source"),
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).cast("long").alias("t"),
+        "value",
+        "event_id",
+    )
+
+    def roll(df):
+        return df.groupBy(
+            "source", (F.floor(F.col("t") / 3600) * 3600).cast("long").alias("epoch_s")
+        ).agg(
+            F.count(F.lit(1)).alias("token_count"),
+            F.round(F.sum("value"), 4).cast("double").alias("sum_value"),
+        )
+
+    is_late = F.pmod(F.crc32(F.col("event_id").cast("string").cast("binary")), F.lit(5)) == 0
+    stale = roll(ev.filter(~is_late))
+    out = refresh_tier(stale, ev, ev.filter(is_late), 3600, roll, time_col="t", bound_scan=False)
+    return out.select("source", "epoch_s", "token_count", "sum_value")
+
+
 # ---------------------------------------------------------------------------
 # J7/W4: gap-fill
 # ---------------------------------------------------------------------------
