@@ -1830,6 +1830,47 @@ def token_packing(spark, sf_dir):
     return pack_sequences(_tokens(spark, sf_dir), capacity=2048, chunk=chunk)
 
 
+@register(
+    "span_dedup",
+    f"""
+    WITH {_TOKENS_SQL},
+    pos AS (SELECT doc_id, unnest(generate_series(0, n_tok - 8)) AS i, tokens
+            FROM tok WHERE n_tok >= 8),
+    grams AS (SELECT doc_id, i, tokens[i+1:i+8] AS gram FROM pos),
+    c AS (SELECT gram, count(*) AS n_occ FROM grams GROUP BY 1),
+    d AS (SELECT g.doc_id, g.i FROM grams g JOIN c ON g.gram = c.gram
+          WHERE c.n_occ > 1),
+    sweep AS (SELECT doc_id, i,
+                     i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) AS step
+              FROM d),
+    cov AS (SELECT doc_id, count(*)::BIGINT AS dup_pos,
+                   sum(CASE WHEN step IS NULL OR step >= 8
+                       THEN 8 ELSE step END)::BIGINT AS covered_tok
+            FROM sweep GROUP BY 1),
+    base AS (SELECT doc_id, (n_tok - 7)::BIGINT AS n_pos FROM tok WHERE n_tok >= 8)
+    SELECT b.doc_id, b.n_pos,
+           coalesce(cov.dup_pos, 0)::BIGINT AS dup_pos,
+           coalesce(cov.covered_tok, 0)::BIGINT AS covered_tok,
+           round(coalesce(cov.dup_pos, 0)::DOUBLE / b.n_pos, 6) + 0.0 AS dup_frac
+    FROM base b LEFT JOIN cov ON b.doc_id = cov.doc_id
+    """,
+)
+def span_dedup(spark, sf_dir):
+    """Exact repeated token-span dedup (Lee et al. 2022 substring dedup):
+    per doc, how many w=8 token windows occur more than once corpus-wide and
+    how many tokens at least one duplicated window covers (exact interval
+    union via ordered lag sweep). The SPARK side runs the 100 TB path —
+    span_dedup_stats_hashed: the corpus-wide shuffle carries a 62-bit
+    two-base polynomial rolling hash per position instead of the w-token
+    array, and only hash-duplicate candidates are re-verified by CONTENT —
+    while the ORACLE replays the content-exact definition, so the scale
+    path's collision handling is value-hash-gated every round (the same
+    verified-production-path pattern as jaccard_verified)."""
+    from .operators.dedup import span_dedup_stats_hashed
+
+    return span_dedup_stats_hashed(_tokens(spark, sf_dir), w=8)
+
+
 # ---------------------------------------------------------------------------
 # Similarity search on embeddings
 # ---------------------------------------------------------------------------

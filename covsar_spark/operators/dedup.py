@@ -248,3 +248,151 @@ def boilerplate_ngrams(docs: DataFrame, k: int = 5, min_docs: int = 3, top: int 
         .limit(top)
         .select("shingle", "n_docs")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact repeated token-span dedup (the "substring dedup" of Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better" — public
+# method) over the tokens table: find every w-token window that occurs more
+# than once ANYWHERE in the corpus and report, per document, how many of its
+# positions are duplicated and how many of its tokens are covered by at
+# least one duplicated window (exact interval-union via an ordered lag
+# sweep, no interval explosion).
+# ---------------------------------------------------------------------------
+
+SPAN_W = 8  # window width in tokens
+# two independent 31-bit polynomial rolling hashes (Mersenne prime modulus);
+# acc*B + t <= 2^31 * 2^20 ~= 2^51 — no int64 overflow in either engine
+SPAN_P = (1 << 31) - 1
+SPAN_B1 = 1_000_003
+SPAN_B2 = 777_767
+
+
+def ngram_positions(tokens_df: DataFrame, w: int = SPAN_W) -> DataFrame:
+    """(doc_id, n_tok, pos, gram): every w-token window of every doc with
+    n_tok >= w. The transform/slice/explode stays whole-stage-codegen —
+    O(n_tok * w) JVM work per doc, no Python."""
+    grams = F.expr(
+        f"transform(sequence(0, n_tok - {w}), i -> "
+        f"struct(i AS pos, slice(tokens, i + 1, {w}) AS gram))"
+    )
+    return (
+        tokens_df.filter(F.col("n_tok") >= w)
+        .select("doc_id", "n_tok", F.explode(grams).alias("g"))
+        .select("doc_id", "n_tok", F.col("g.pos").alias("pos"), F.col("g.gram").alias("gram"))
+    )
+
+
+def _coverage(dup_pos: DataFrame, w: int) -> DataFrame:
+    """Exact union of per-doc intervals [pos, pos+w) over duplicated
+    positions: ordered lag sweep — a new window contributes min(w, gap)
+    fresh tokens. Per-doc window partitions only (bounded by doc length)."""
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    step = F.col("pos") - F.lag("pos").over(win)
+    fresh = F.when(step.isNull() | (step >= w), F.lit(w)).otherwise(step)
+    return (
+        dup_pos.withColumn("_f", fresh)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("dup_pos"),
+            F.sum("_f").cast("long").alias("covered_tok"),
+        )
+    )
+
+
+def span_dedup_stats(tokens_df: DataFrame, w: int = SPAN_W) -> DataFrame:
+    """Exact form: group the actual w-token slices (array group key, content
+    equality — zero collision risk), mark positions whose gram occurs > 1
+    time corpus-wide, then the per-doc coverage sweep.
+
+    This is the oracle-faithful baseline; the corpus-wide gram groupBy
+    shuffles every position once (array keys hash JVM-side). At 100 TB use
+    span_dedup_stats_hashed: identical output, but the full-width shuffle
+    carries 16 bytes of rolling hash instead of w token values, and only
+    hash-collision candidates are ever re-verified by content."""
+    g = ngram_positions(tokens_df, w)
+    occ = g.groupBy("gram").agg(F.count(F.lit(1)).alias("n_occ"))
+    marked = g.join(occ, "gram").drop("gram")
+    base = marked.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_pos"))
+    cov = _coverage(marked.filter(F.col("n_occ") > 1).select("doc_id", "pos"), w)
+    return (
+        base.join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_pos",
+            F.coalesce(F.col("dup_pos"), F.lit(0)).cast("long").alias("dup_pos"),
+            F.coalesce(F.col("covered_tok"), F.lit(0)).cast("long").alias("covered_tok"),
+            (F.round(F.coalesce(F.col("dup_pos"), F.lit(0)) / F.col("n_pos"), 6) + 0.0).alias(
+                "dup_frac"
+            ),
+        )
+    )
+
+
+def _rolling_hash_expr(w: int, base: int) -> str:
+    return (
+        f"aggregate(slice(tokens, i + 1, {w}), CAST(0 AS BIGINT), "
+        f"(acc, t) -> pmod(acc * {base} + t, {SPAN_P}))"
+    )
+
+
+def span_dedup_stats_hashed(tokens_df: DataFrame, w: int = SPAN_W) -> DataFrame:
+    """Scale path, output-identical to span_dedup_stats (pytest-pinned):
+
+    1. per position compute a 62-bit key from two independent 31-bit
+       polynomial hashes of the window (pure codegen, no Python);
+    2. groupBy the key with map-side combine — the corpus-wide shuffle
+       carries (key, count) rows, not token arrays;
+    3. only keys with count > 1 (the rare tail) are semi-joined back and
+       their positions re-verified by CONTENT (exact gram groupBy on the
+       candidate subset), so a 62-bit collision can only add a candidate
+       that verification then rejects — never a wrong answer.
+    """
+    grams = F.expr(
+        f"transform(sequence(0, n_tok - {w}), i -> "
+        f"struct(i AS pos, {_rolling_hash_expr(w, SPAN_B1)} * {SPAN_P + 1} + "
+        f"{_rolling_hash_expr(w, SPAN_B2)} AS hk))"
+    )
+    # the exploded frame carries ONLY (pos, hk) — 16 bytes/position. Never
+    # explode with the tokens array attached: parent columns are physically
+    # copied per exploded row, so a 2048-token doc would amplify to
+    # ~n_tok * n_tok ints (O(len^2) bytes) before the first exchange.
+    slim = (
+        tokens_df.filter(F.col("n_tok") >= w)
+        .select("doc_id", F.explode(grams).alias("g"))
+        .select("doc_id", F.col("g.pos").alias("pos"), F.col("g.hk").alias("hk"))
+    )
+    cand_keys = (
+        slim.groupBy("hk").agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") > 1).select("hk")
+    )
+    # candidate positions are the rare tail; re-slice their content by
+    # joining BACK to the tokens table (one hash join on doc_id), not by
+    # dragging token arrays through the explode
+    cand_pos = slim.join(cand_keys, "hk", "left_semi").select("doc_id", "pos")
+    cand = cand_pos.join(tokens_df.select("doc_id", "tokens"), "doc_id").select(
+        "doc_id", "pos", F.expr(f"slice(tokens, pos + 1, {w})").alias("gram")
+    )
+    occ = cand.groupBy("gram").agg(F.count(F.lit(1)).alias("n_occ"))
+    dup = (
+        cand.join(occ.filter(F.col("n_occ") > 1), "gram", "left_semi")
+        .select("doc_id", "pos")
+    )
+    base = (
+        tokens_df.filter(F.col("n_tok") >= w)
+        .select("doc_id", (F.col("n_tok") - w + 1).cast("long").alias("n_pos"))
+    )
+    cov = _coverage(dup, w)
+    return (
+        base.join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_pos",
+            F.coalesce(F.col("dup_pos"), F.lit(0)).cast("long").alias("dup_pos"),
+            F.coalesce(F.col("covered_tok"), F.lit(0)).cast("long").alias("covered_tok"),
+            (F.round(F.coalesce(F.col("dup_pos"), F.lit(0)) / F.col("n_pos"), 6) + 0.0).alias(
+                "dup_frac"
+            ),
+        )
+    )

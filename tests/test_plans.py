@@ -381,3 +381,46 @@ def test_hdr_quantiles_plan_shape(spark):
     assert win_idx and scan_idx
     for w in win_idx:
         assert any(w < a < max(scan_idx) for a in agg_idx)
+
+
+def test_tier_refresh_plan_shape(spark):
+    """Incremental refresh: the dirty-window set joins by BROADCAST on both
+    sides (semi on the raw re-scan, anti on the kept tier), the merge is a
+    plain union of disjoint sets, and both rollups keep map-side combine.
+    A SortMergeJoin here would mean the tiny invalidation set is being
+    shuffled with the tier — the exact failure mode the operator exists to
+    avoid."""
+    from covsar_spark.contract import QUERIES
+
+    plan = _plan(QUERIES["tier_refresh_1h"](spark, "/root/testdata/sf0.001"))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Union" in plan
+    assert "partial_count" in plan
+
+
+def test_span_dedup_plan_shape(spark):
+    """Hashed span-dedup scale path: rolling hashes are JVM codegen (no
+    Python), the candidate joins broadcast, and — the O(len^2) guard — the
+    explode output schema carries only (doc_id, pos, hk), never the tokens
+    array (parent columns are copied per exploded row, so tokens attached
+    to the explode would amplify a 2048-token doc ~2000x before the first
+    exchange)."""
+    from covsar_spark.contract import QUERIES
+
+    plan = _plan(QUERIES["span_dedup"](spark, "/root/testdata/sf0.001"))
+    assert "Python" not in plan
+    # every join is an equi-join (hash keys: hk / gram / doc_id); which
+    # strategy wins is AQE's runtime call since candidate sizes are dynamic
+    # — but a nested-loop or cartesian would mean a join lost its keys
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "partial_count" in plan
+    # the generate (explode) operators must not carry the tokens column:
+    # tokens may feed the hash INSIDE the exploded expression, but the
+    # Generate node's retained-parent and output attribute lists (the line's
+    # tail, e.g. "..., [doc_id#110], false, [g#21]") must not retain it
+    gen_lines = [ln for ln in plan.splitlines() if "Generate explode" in ln]
+    assert gen_lines
+    for ln in gen_lines:
+        assert "tokens#" not in ln[-100:], ln[-160:]
