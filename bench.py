@@ -246,6 +246,7 @@ FLAGSHIP_REPEATS = int(os.environ.get("SPARK_GRAFT_FLAGSHIP_REPEATS", "2"))
 BENCH_QUERIES = [
     "rollup_1m",
     "rollup_1h_cascade",
+    "tier_refresh_1h",
     "gapfill_zero_1m",
     "gapfill_ffill_1m",
     "lag_diff",
@@ -281,6 +282,7 @@ BENCH_QUERIES = [
     "jaccard_verified",
     "minhash_signatures",
     "lsh_candidates",
+    "span_dedup",
     "near_dup_lsh",
     "simhash",
     "word_stats",

@@ -2946,6 +2946,13 @@ _SUITE_ROWEXPR_4 = {
     "kappa_grid": "length(source) + n_triplets"
                   " + coalesce(cast(round(best_kappa * 10000, 0) as bigint), 0)"
                   " + coalesce(cast(round(best_r2 * 1000000, 0) as bigint), 0)",
+    # latest-r8 demotions: cap room for tier_refresh_1h + span_dedup. Both
+    # are intermediate STAGES of the in-cap jaccard_verified production
+    # chain (signature build and band-bucket candidates run inside it), so
+    # the dedup family keeps direct in-cap coverage via jaccard_verified +
+    # dedup_exact + simhash; both banked green rows in every round since r5.
+    "minhash_signatures": "doc_id + hash_id + minhash",
+    "lsh_candidates": "doc_a * 1000 + doc_b",
 }
 
 
@@ -2980,11 +2987,13 @@ def _suite_df(spark, sf_dir, rowexprs: dict[str, str]) -> DataFrame:
 
 @register("demoted_suite_4", _suite_oracle(_SUITE_ROWEXPR_4))
 def demoted_suite_4(spark, sf_dir):
-    """Suite checksum over the 13 entries rotated out in round 8 (see
+    """Suite checksum over the 15 entries rotated out in round 8 (see
     _SUITE_ROWEXPR_4) — each banked a direct green driver row in r7.
-    The last two (sessionize, kappa_grid) rotated late-r8 to make cap room
-    for the sketch-cascade entries; their SURVEY rows keep in-cap direct
-    siblings (lc_window_stats; topk_per_group + nearest_point).
+    sessionize/kappa_grid rotated late-r8 for the sketch-cascade entries
+    (SURVEY rows keep in-cap siblings: lc_window_stats; topk_per_group +
+    nearest_point); minhash_signatures/lsh_candidates rotated latest-r8 for
+    tier_refresh_1h + span_dedup (both run as stages inside the in-cap
+    jaccard_verified chain).
     (`demoted_suite` and `demoted_suite_2`, the r6/r7 carriers, were
     retired in rounds 7/8 respectively: every member promoted back inside
     the cap for direct rows.)"""
@@ -3098,6 +3107,10 @@ DRIVER_DEMOTED = [
     # late-r8: cap room for hll_user_cascade + hdr_value_quantiles
     "sessionize",
     "kappa_grid",
+    # latest-r8: cap room for tier_refresh_1h + span_dedup — both demoted
+    # entries run as stages inside the in-cap jaccard_verified chain
+    "minhash_signatures",
+    "lsh_candidates",
 ]
 
 
