@@ -224,8 +224,17 @@ def main():
         "flagged_superlinear": flagged,
         "queries": rows,
     }
+    # MERGE into the existing study file — a whole-file dump here once
+    # silently deleted every sibling study key (sketch_tiers_scale,
+    # dedup_chain_100x, ...) when the slope suite was re-run (round-8 bug);
+    # the slope run owns only its own keys
+    merged = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            merged = json.load(f)
+    merged.update(result)
     with open(out_path, "w") as f:
-        json.dump(result, f, indent=1)
+        json.dump(merged, f, indent=1)
     print(json.dumps({"flagged": flagged, "n": len(rows), "out": out_path}))
 
 
