@@ -232,6 +232,26 @@ def main():
     if os.path.exists(out_path):
         with open(out_path) as f:
             merged = json.load(f)
+    if len(sys.argv) > 3 and merged.get("queries"):
+        # subset re-measure: splice the fresh rows into the existing map
+        # (same round-8 bug class — a 2-query re-run must not shrink the
+        # 68-row map) and recompute the flag list over the union
+        by = {r["query"]: r for r in merged["queries"]}
+        by.update({r["query"]: r for r in rows})
+        order = [n for n in BENCH_QUERIES if n in by]
+        result["queries"] = [by[n] for n in order] + [
+            by[n] for n in by if n not in order
+        ]
+        result["flagged_superlinear"] = [
+            r["query"] for r in result["queries"]
+            if not r["below_floor"] and r["expect"] == "linear"
+            and r["slope_vs_linear"] is not None and r["slope_vs_linear"] > 1.3
+        ]
+        # auto_overridden describes the FULL run's repeat policy — a subset
+        # splice must not erase the prior run's list, only extend it
+        result["auto_overridden"] = sorted(
+            set(merged.get("auto_overridden", [])) | set(result["auto_overridden"])
+        )
     merged.update(result)
     with open(out_path, "w") as f:
         json.dump(merged, f, indent=1)
