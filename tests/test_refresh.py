@@ -178,3 +178,54 @@ def test_refresh_tier_table_empty_late(spark, split, tmp_path):
         lambda df: rollup_tokens(df, "1h"),
     )
     assert metrics == {"n_dirty_windows": 0, "dirty_days": [], "rows_written": 0}
+
+
+def test_stream_drops_late_batch_refresh_repairs(spark, tmp_path):
+    """Compose the two halves of the continuous-aggregate story: the
+    watermarked stream finalizes the 1m tier over the on-time flow; a file
+    then lands whose event times sit behind the already-passed watermark, so
+    correct streaming semantics DROP every row (same setup as the cascade
+    restart test). The batch dirty-window refresh repairs the streamed tier
+    from the full raw table — and the repaired tier is row-identical to a
+    from-scratch batch rebuild. This is the production loop for too-late
+    data: the stream owns the flow, refresh owns the exceptions, and the
+    composition loses nothing."""
+    from covsar_spark.datagen import write_tokens
+    from covsar_spark.streaming.cascade_stream import run_cascade_stream
+
+    src = tmp_path / "tok"
+    write_tokens(str(src / "part1"), 1200, seed=42)
+    out = str(tmp_path / "tiers")
+    tier_1m_dir, _ = run_cascade_stream(spark, str(src / "*"), out)
+    n_streamed = spark.read.parquet(tier_1m_dir).count()
+
+    # too-late arrivals: restart over the grown dir; the checkpointed
+    # stream reads only the new file and drops every row as late
+    write_tokens(str(src / "part2"), 900, seed=43)
+    tier_1m_dir, _ = run_cascade_stream(spark, str(src / "*"), out)
+    streamed = spark.read.parquet(tier_1m_dir).drop("batch_id", "epoch_day")
+    assert streamed.count() == n_streamed, "stream was expected to drop the late file"
+
+    part1 = with_event_time(spark.read.parquet(str(src / "part1")))
+    part2 = with_event_time(spark.read.parquet(str(src / "part2")))
+    all_ts = part1.unionByName(part2)
+
+    # the repair set a reconciliation job computes: the late file PLUS every
+    # on-time row whose window the watermark was still holding open when the
+    # snapshot was taken (append mode never emitted it) — one broadcast
+    # anti-join of raw against the tier's (source, window) keys
+    win = (F.floor(F.col("epoch_s") / 60) * 60).cast("long")
+    unfinalized = (
+        part1.withColumn("_w", win)
+        .join(
+            F.broadcast(streamed.select("source", F.col("epoch_s").alias("_w"))),
+            ["source", "_w"],
+            "left_anti",
+        )
+        .drop("_w")
+    )
+    assert 0 < unfinalized.count() < 20  # the held-open tail is tiny
+    late = part2.unionByName(unfinalized)
+
+    repaired = refresh_token_tier(streamed, all_ts, late, "1m")
+    _tiers_equal(repaired, rollup_tokens(all_ts, "1m"))
