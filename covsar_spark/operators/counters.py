@@ -1,0 +1,133 @@
+"""Counter and gauge window semantics for the tier engine: reset-aware
+counter increase/rate (Prometheus ``increase()``/``rate()``, public
+semantics) and LOCF time-weighted averages (TimescaleDB ``time_weight``,
+public semantics) as tumbling-window rollups.
+
+Reference analogue: the reference's products are built by differencing a
+CUMULATIVE series and windowing the differences — interferograms are
+pairwise differences of accumulated phase (covsar/closure_inten.py:181-185)
+and velocity maps are per-interval slopes of the cumulative displacement
+series (covsar/closure_inten.py:534-551). ``counter_increase`` is the same
+"difference a monotone accumulator, then window" motif with the one wrinkle
+a 10^12-row telemetry store actually has: the accumulator RESETS when its
+producer restarts, and a correct engine must fold the reset into the delta
+instead of emitting a huge negative spike.
+
+Exactness: both operators are pure integer window/aggregate math (callers
+scale float inputs to integer units first); sums of int64 are
+order-independent, so the DuckDB oracle matches bit-for-bit with a single
+terminal float division per output row.
+
+Scale notes (100 TB / 1000 executors):
+- ``counter_increase``: ONE shuffle on the series keys for the lag (window
+  state = one row per series partition stream), then a map-side partial agg
+  into the (keys, window) rollup — the second exchange carries only
+  window-level partials.
+- ``time_weighted_avg``: the lead() window is (keys, WINDOW) — intra-window
+  only, so a series never has to be resident on one executor beyond a
+  single tumbling window of samples; skewed series salt by window for free.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _win(col, tier_s: int):
+    return (F.floor(col / tier_s) * tier_s).cast("long")
+
+
+def counter_increase(
+    df: DataFrame,
+    counter_col: str,
+    keys: Sequence[str] = ("source",),
+    ts_col: str = "epoch_s",
+    order_cols: Sequence[str] = (),
+    tier_s: int = 3600,
+) -> DataFrame:
+    """Reset-aware increase per tumbling window over a cumulative counter.
+
+    Per series (``keys``) ordered by ``ts_col`` (+ ``order_cols`` tiebreak),
+    the sample-to-sample delta is ``d = c - lag(c)``. A negative delta marks
+    a counter RESET (the producer restarted from 0) and contributes the
+    post-reset absolute value ``c``; the series' first sample contributes 0
+    (no prior observation — extrapolation is out of scope, exactness is in).
+    Emits per (keys, window): ``increase`` (sum of deltas attributed to the
+    window of each sample's own timestamp), ``n_samples``, ``n_resets``.
+    """
+    w = Window.partitionBy(*keys).orderBy(ts_col, *order_cols)
+    c = F.col(counter_col)
+    lagc = F.lag(counter_col).over(w)
+    d = c - lagc
+    delta = F.when(lagc.isNull(), F.lit(0)).when(d < 0, c).otherwise(d)
+    reset = F.when(lagc.isNull(), F.lit(0)).when(d < 0, F.lit(1)).otherwise(F.lit(0))
+    return (
+        df.select(
+            *keys,
+            _win(F.col(ts_col), tier_s).alias("epoch_s"),
+            delta.alias("_d"),
+            reset.alias("_r"),
+        )
+        .groupBy(*keys, "epoch_s")
+        .agg(
+            F.sum("_d").cast("long").alias("increase"),
+            F.count(F.lit(1)).alias("n_samples"),
+            F.sum("_r").cast("long").alias("n_resets"),
+        )
+    )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    value_col: str,
+    keys: Sequence[str] = ("source",),
+    ts_us_col: str = "ts_us",
+    order_cols: Sequence[str] = (),
+    tier_s: int = 3600,
+) -> DataFrame:
+    """LOCF time-weighted mean per tumbling window.
+
+    Each sample holds ``value_col`` until the NEXT sample in the same
+    window; the window's last sample holds to window end. The first
+    sample's weight starts at its own timestamp (no retro-extrapolation),
+    so a window's total weight is ``window_end - first_ts`` — windows are
+    self-contained and never read neighbouring windows' samples.
+
+    ``value_col`` must already be an integer (scale floats to cents/ppm at
+    the call site): ``w_sum = Σ value·dur_us`` and ``dur_us_total`` are then
+    exact int64 sums, and ``twa = w_sum / dur_us_total`` is the single float
+    step, evaluated once per output row.
+    """
+    tier_us = tier_s * 1_000_000
+    with_win = df.select(
+        *keys,
+        F.col(ts_us_col).alias("_ts_us"),
+        F.col(value_col).alias("_v"),
+        *order_cols,
+        (F.floor(F.col(ts_us_col) / tier_us) * tier_us).cast("long").alias("_win_us"),
+    )
+    w = Window.partitionBy(*keys, "_win_us").orderBy("_ts_us", *order_cols)
+    next_us = F.lead("_ts_us").over(w)
+    dur = F.coalesce(next_us, F.col("_win_us") + tier_us) - F.col("_ts_us")
+    # group on the window's OWN partition columns so the exchange the lead()
+    # already paid is reused (grouping on a derived epoch_s would re-shuffle)
+    return (
+        with_win.withColumn("_dur", dur)
+        .groupBy(*keys, "_win_us")
+        .agg(
+            F.sum(F.col("_v") * F.col("_dur")).cast("long").alias("w_sum"),
+            F.sum("_dur").cast("long").alias("dur_us_total"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+        .select(
+            *keys,
+            (F.col("_win_us") / 1_000_000).cast("long").alias("epoch_s"),
+            "w_sum",
+            "dur_us_total",
+            "n_samples",
+            (F.col("w_sum") / F.col("dur_us_total")).alias("twa"),
+        )
+    )

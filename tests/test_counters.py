@@ -1,0 +1,168 @@
+"""Reset-aware counter increase + LOCF time-weighted average
+(operators/counters.py) vs explicit-loop references."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from covsar_spark.operators.counters import counter_increase, time_weighted_avg
+
+TIER = 3600
+
+
+@pytest.fixture(scope="module")
+def series(spark):
+    """Deterministic multi-series counter samples with planted resets:
+    per series, the counter accumulates positive integer steps and restarts
+    from a small remainder whenever the sample index crosses a reset slot
+    (including a reset to a LOWER-but-nonzero value — the case a naive
+    `delta = max(d, 0)` gets wrong). Timestamps land irregularly, with some
+    exactly on window boundaries and one window left empty per series."""
+    rng = np.random.default_rng(7)
+    rows = []
+    for s, (n, reset_every) in enumerate([(97, 23), (61, 17), (5, 999)]):
+        key = f"ser{s}"
+        t = 0
+        c = 0
+        for i in range(n):
+            t += int(rng.integers(30, 400))
+            if t // TIER == 2:  # hole: skip window 2 entirely
+                t = 3 * TIER + (t % TIER)
+            if i > 0 and i % reset_every == 0:
+                c = int(rng.integers(0, 5))  # restart near zero
+            else:
+                c += int(rng.integers(1, 50))
+            rows.append((key, t, c, i))
+    # a boundary sample exactly at a window start
+    rows.append(("ser0", 4 * TIER, rows[-1][2] + 7, 999))
+    pdf = pd.DataFrame(rows, columns=["source", "epoch_s", "counter", "event_id"])
+    return spark.createDataFrame(pdf), pdf
+
+
+def _ref_increase(pdf: pd.DataFrame) -> dict:
+    out = {}
+    for key, g in pdf.groupby("source"):
+        g = g.sort_values(["epoch_s", "event_id"], kind="mergesort")
+        prev = None
+        for _, r in g.iterrows():
+            w = (r.epoch_s // TIER) * TIER
+            slot = out.setdefault((key, w), [0, 0, 0])
+            if prev is None:
+                d, reset = 0, 0
+            elif r.counter - prev < 0:
+                d, reset = r.counter, 1
+            else:
+                d, reset = r.counter - prev, 0
+            slot[0] += d
+            slot[1] += 1
+            slot[2] += reset
+            prev = r.counter
+    return out
+
+
+def test_counter_increase_matches_loop(spark, series):
+    df, pdf = series
+    got = counter_increase(
+        df, "counter", keys=("source",), ts_col="epoch_s", order_cols=("event_id",), tier_s=TIER
+    ).toPandas()
+    want = _ref_increase(pdf)
+    assert len(got) == len(want)
+    n_resets_total = 0
+    for _, r in got.iterrows():
+        inc, n, resets = want[(r.source, r.epoch_s)]
+        assert (r.increase, r.n_samples, r.n_resets) == (inc, n, resets), (r.source, r.epoch_s)
+        n_resets_total += resets
+    assert n_resets_total >= 2  # the fixture really exercises resets
+
+
+def test_counter_increase_totals_telescope(spark, series):
+    """Within any reset-free stretch the increases telescope: summing the
+    per-window increases over a whole series equals (last - first) plus the
+    reset corrections — checked via the loop reference's own construction,
+    and independently: a strictly monotone series' total increase is
+    exactly last - first."""
+    pdf = pd.DataFrame(
+        {
+            "source": ["m"] * 50,
+            "epoch_s": np.arange(50) * 500,
+            "counter": np.cumsum(np.arange(1, 51)),
+            "event_id": np.arange(50),
+        }
+    )
+    got = counter_increase(
+        spark.createDataFrame(pdf), "counter", order_cols=("event_id",), tier_s=TIER
+    ).toPandas()
+    assert int(got.increase.sum()) == int(pdf.counter.iloc[-1] - pdf.counter.iloc[0])
+    assert int(got.n_resets.sum()) == 0
+
+
+def _ref_twa(pdf: pd.DataFrame, tier_us: int) -> dict:
+    out = {}
+    for (key, w), g in pdf.groupby(["source", pdf.ts_us // tier_us * tier_us]):
+        g = g.sort_values(["ts_us", "event_id"], kind="mergesort")
+        ts = g.ts_us.to_numpy()
+        v = g.v.to_numpy()
+        dur = np.diff(np.append(ts, w + tier_us))
+        out[(key, w // 1_000_000)] = (int((v * dur).sum()), int(dur.sum()), len(g))
+    return out
+
+
+@pytest.fixture(scope="module")
+def gauge(spark):
+    rng = np.random.default_rng(11)
+    rows = []
+    for s in range(3):
+        t = 0
+        for i in range(140):
+            t += int(rng.integers(1, 25 * 60)) * 1_000_000 + int(rng.integers(0, 1_000_000))
+            rows.append((f"g{s}", t, int(rng.integers(-500, 5000)), i))
+    # exact boundary landing + a single-sample window at the far end
+    rows.append(("g0", 50 * 3600 * 1_000_000, 42, 998))
+    pdf = pd.DataFrame(rows, columns=["source", "ts_us", "v", "event_id"])
+    return spark.createDataFrame(pdf), pdf
+
+
+def test_time_weighted_avg_matches_loop(spark, gauge):
+    df, pdf = gauge
+    got = time_weighted_avg(
+        df, "v", keys=("source",), ts_us_col="ts_us", order_cols=("event_id",), tier_s=TIER
+    ).toPandas()
+    want = _ref_twa(pdf, TIER * 1_000_000)
+    assert len(got) == len(want)
+    for _, r in got.iterrows():
+        ws, dt, n = want[(r.source, r.epoch_s)]
+        assert (r.w_sum, r.dur_us_total, r.n_samples) == (ws, dt, n), (r.source, r.epoch_s)
+        assert r.twa == ws / dt
+
+
+def test_twa_constant_series_is_constant(spark):
+    """LOCF invariant: a constant-valued series has TWA == that constant in
+    every window regardless of sample spacing."""
+    pdf = pd.DataFrame(
+        {
+            "source": ["c"] * 30,
+            "ts_us": (np.cumsum(np.geomspace(1e5, 9e8, 30)).astype(np.int64)),
+            "v": [777] * 30,
+            "event_id": np.arange(30),
+        }
+    )
+    got = time_weighted_avg(
+        spark.createDataFrame(pdf), "v", order_cols=("event_id",)
+    ).toPandas()
+    assert (got.twa == 777.0).all()
+
+
+def test_twa_two_point_hand_case(spark):
+    """One window, two samples: v=10 for 1/4 of the remaining span, v=20 to
+    window end. TWA = (10*1 + 20*3)/4 = 17.5 over the observed span."""
+    tier_us = TIER * 1_000_000
+    rows = [("h", 0, 10, 0), ("h", tier_us // 4, 20, 1)]
+    pdf = pd.DataFrame(rows, columns=["source", "ts_us", "v", "event_id"])
+    got = time_weighted_avg(
+        spark.createDataFrame(pdf), "v", order_cols=("event_id",)
+    ).toPandas()
+    assert len(got) == 1
+    assert got.twa.iloc[0] == 17.5
+    assert int(got.dur_us_total.iloc[0]) == tier_us
