@@ -273,6 +273,9 @@ BENCH_QUERIES = [
     "phase_unwrap_2d_masked",
     "hll_user_cascade",
     "hdr_value_quantiles",
+    "counter_increase_1h",
+    "time_weighted_avg_1h",
+    "lttb_downsample",
     "interferogram",
     "mean_lag_coherence",
     "kappa_grid",

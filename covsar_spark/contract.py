@@ -2906,6 +2906,205 @@ def hdr_value_quantiles(spark, sf_dir):
     return hdr_daily_quantiles(_read(spark, sf_dir, "events"), value="value")
 
 
+# ---------------------------------------------------------------------------
+# Counter/gauge window semantics + shape-preserving downsample (round 8).
+# operators/counters.py + operators/downsample.py — the telemetry-store
+# duties next to the tier rollups: reset-aware counter increase (Prometheus
+# increase(), public semantics), LOCF time-weighted mean (TimescaleDB
+# time_weight, public semantics), and LTTB (Steinarsson 2013) downsampling.
+# Reference analogue: difference-a-cumulative-series-then-window is the
+# reference's own product motif (covsar/closure_inten.py:181-185 pairwise
+# phase differences; :534-551 per-interval slopes of cumulative
+# displacement). All three are integer-exact by construction: events.value
+# lifts to cents (one round(*100) both dialects), sums/areas stay int64,
+# and the single terminal float division replays bit-identically.
+# ---------------------------------------------------------------------------
+from .operators.counters import counter_increase, time_weighted_avg  # noqa: E402
+from .operators.downsample import lttb as lttb_downsample_op  # noqa: E402
+
+# modulus that plants ~20 resets/series at sf0.001 (cumulative cents per
+# series reach ~1e6); the planted counter is cumsum(cents) % MOD, a
+# deterministic monotone-with-wraps series both engines rebuild exactly
+_CTR_MOD = 50_000
+
+
+@register(
+    "counter_increase_1h",
+    f"""
+    WITH s AS (
+      SELECT event_type AS source,
+             floor(epoch(ts))::BIGINT AS epoch_s,
+             event_id,
+             cast(round(value * 100) AS BIGINT) AS cents
+      FROM events),
+    c AS (
+      SELECT source, epoch_s, event_id,
+             cast(sum(cents) OVER (PARTITION BY source ORDER BY epoch_s, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) % {_CTR_MOD}
+                  AS BIGINT) AS ctr
+      FROM s),
+    d AS (
+      SELECT source, epoch_s, ctr,
+             lag(ctr) OVER (PARTITION BY source ORDER BY epoch_s, event_id) AS prev
+      FROM c)
+    SELECT source, (epoch_s // 3600) * 3600 AS epoch_s,
+           sum(CASE WHEN prev IS NULL THEN 0
+                    WHEN ctr - prev < 0 THEN ctr ELSE ctr - prev END)::BIGINT AS increase,
+           count(*)::BIGINT AS n_samples,
+           sum(CASE WHEN prev IS NOT NULL AND ctr - prev < 0 THEN 1 ELSE 0 END)::BIGINT AS n_resets
+    FROM d GROUP BY 1, 2
+    """,
+)
+def counter_increase_1h(spark, sf_dir):
+    """Reset-aware counter increase per (source, hour): plant a cumulative
+    counter (cumsum of cents mod _CTR_MOD — the mod wraps ARE the resets)
+    over events, then fold each wrap into the windowed delta as the
+    post-reset absolute value instead of a negative spike
+    (operators/counters.py; the reference's difference-a-cumulative-series
+    motif, covsar/closure_inten.py:181-185). Pure int64 window/agg math —
+    bit-exact across engines with no float in sight."""
+    ev = _read(spark, sf_dir, "events")
+    cum = W.partitionBy("source").orderBy("epoch_s", "event_id").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    base = ev.select(
+        F.col("event_type").alias("source"),
+        F.unix_timestamp("ts").alias("epoch_s"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    ctr = base.withColumn("ctr", F.sum("cents").over(cum) % _CTR_MOD)
+    return counter_increase(
+        ctr, "ctr", keys=("source",), ts_col="epoch_s",
+        order_cols=("event_id",), tier_s=3600,
+    )
+
+
+@register(
+    "time_weighted_avg_1h",
+    """
+    WITH s AS (
+      SELECT event_type AS source, epoch_us(ts) AS ts_us, event_id,
+             cast(round(value * 100) AS BIGINT) AS cents,
+             (epoch_us(ts) // 3600000000) * 3600000000 AS win_us
+      FROM events),
+    d AS (
+      SELECT source, win_us, cents,
+             coalesce(lead(ts_us) OVER (PARTITION BY source, win_us
+                        ORDER BY ts_us, event_id),
+                      win_us + 3600000000) - ts_us AS dur
+      FROM s)
+    SELECT source, (win_us // 1000000) AS epoch_s,
+           sum(cents * dur)::BIGINT AS w_sum,
+           sum(dur)::BIGINT AS dur_us_total,
+           count(*)::BIGINT AS n_samples,
+           round(sum(cents * dur)::BIGINT / sum(dur)::BIGINT, 6) AS twa
+    FROM d GROUP BY 1, 2
+    """,
+)
+def time_weighted_avg_1h(spark, sf_dir):
+    """LOCF time-weighted mean per (source, hour) at microsecond
+    resolution (operators/counters.py): each sample holds its value to the
+    next sample in the window, the last to window end, so irregular
+    sampling stops biasing the mean toward burst periods. w_sum and
+    dur_us_total are exact int64 sums; twa = w_sum/dur is the single float
+    step (identical IEEE division both engines, then round 6dp)."""
+    ev = _read(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("event_type").alias("source"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    out = time_weighted_avg(
+        base, "cents", keys=("source",), ts_us_col="ts_us",
+        order_cols=("event_id",), tier_s=3600,
+    )
+    return out.select(
+        "source", "epoch_s", "w_sum", "dur_us_total", "n_samples",
+        F.round("twa", 6).cast("double").alias("twa"),
+    )
+
+
+_LTTB_N_OUT = 12
+
+
+def _lttb_oracle(n_out: int) -> str:
+    """Unrolled-CTE DuckDB oracle for LTTB — the pick recurrence
+    (pick b+1 = argmax over bucket b given pick b) unrolls into n_out-2
+    chained CTEs since n_out is a fixed literal. Replays the integer
+    kernel exactly: bucket(i) = ceil(i·B/K)-1 inverts the kernel's edge
+    array (property-verified for every n in 13..5000 and beyond), the
+    centroid division is cleared by the per-bucket count (constant within
+    a bucket, so the argmax is canonical LTTB), x is shifted per series by
+    its min so every product stays far below 2^63, and ties take the
+    smallest rank (QUALIFY area DESC, r == np.argmax first-max)."""
+    B = n_out - 2
+    parts = [f"""
+    WITH pts AS (
+      SELECT event_type AS source,
+             floor(epoch(ts))::BIGINT AS x,
+             cast(round(value * 100) AS BIGINT) AS y,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY floor(epoch(ts)), round(value * 100), event_id) AS r,
+             count(*) OVER (PARTITION BY event_type) AS n,
+             min(floor(epoch(ts))::BIGINT) OVER (PARTITION BY event_type) AS mnx
+      FROM events),
+    bkt AS (
+      SELECT source, x - mnx AS xs, y, r, n, mnx,
+             CASE WHEN r BETWEEN 2 AND n - 1
+                  THEN ((r - 1) * {B} + n - 3) // (n - 2) - 1 END AS b
+      FROM pts),
+    cent AS (
+      SELECT source, b, count(*)::BIGINT AS cnt,
+             sum(xs)::BIGINT AS sx, sum(y)::BIGINT AS sy
+      FROM bkt WHERE b IS NOT NULL GROUP BY 1, 2
+      UNION ALL
+      SELECT source, {B} AS b, 1, xs, y FROM bkt WHERE r = n),
+    mn AS (SELECT source, any_value(mnx) AS mnx FROM pts GROUP BY 1),
+    pk0 AS (SELECT source, r, xs AS ax, y AS ay FROM bkt WHERE r = 1)"""]
+    for b in range(B):
+        parts.append(f""",
+    s{b} AS (
+      SELECT t.source, t.r, t.xs, t.y,
+             abs((p.ax * c.cnt - c.sx) * (t.y - p.ay)
+                 - (p.ax - t.xs) * (c.sy - p.ay * c.cnt)) AS area
+      FROM bkt t
+      JOIN pk{b} p USING (source)
+      JOIN cent c ON c.source = t.source AND c.b = {b + 1}
+      WHERE t.b = {b}),
+    pk{b + 1} AS (
+      SELECT source, r, xs AS ax, y AS ay FROM s{b}
+      QUALIFY row_number() OVER (PARTITION BY source ORDER BY area DESC, r) = 1)""")
+    sel = [
+        "SELECT source, ax + mn.mnx AS epoch_s, ay AS cents, "
+        f"{b}::BIGINT AS sel_rank FROM pk{b} JOIN mn USING (source)"
+        for b in range(B + 1)
+    ]
+    sel.append(f"SELECT source, x, y, {n_out - 1}::BIGINT FROM pts WHERE r = n")
+    parts.append("\n    " + "\n    UNION ALL\n    ".join(sel))
+    return "".join(parts)
+
+
+@register("lttb_downsample", _lttb_oracle(_LTTB_N_OUT))
+def lttb_downsample(spark, sf_dir):
+    """Shape-preserving downsample to 12 points per series via LTTB
+    (operators/downsample.py): one applyInPandas pass per source over
+    (epoch_s, cents), integer-exact areas (see lttb_indices), picks
+    replayed by the unrolled-CTE oracle above. The engine's third
+    downsample mode next to decimation (value-preserving stride) and the
+    tier cascade (windowed re-aggregation) — this one keeps extremes."""
+    ev = _read(spark, sf_dir, "events")
+    pts = ev.select(
+        F.col("event_type").alias("source"),
+        F.unix_timestamp("ts").alias("epoch_s"),
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return lttb_downsample_op(
+        pts, _LTTB_N_OUT, keys=("source",), x_col="epoch_s", y_col="cents"
+    )
+
+
 # Round-8 rotation's checksum carrier: the 13 entries that banked fresh
 # green driver rows in CORRECTNESS_r07 rotate out to make cap room for the
 # 9 r5-evidence promotions + phase_residues + nearest_point (and, late-r8,
@@ -2953,6 +3152,22 @@ _SUITE_ROWEXPR_4 = {
     # dedup_exact + simhash; both banked green rows in every round since r5.
     "minhash_signatures": "doc_id + hash_id + minhash",
     "lsh_candidates": "doc_a * 1000 + doc_b",
+    # late-r8 wave 2: cap room for counter_increase_1h + time_weighted_avg_1h
+    # + lttb_downsample (all three brand-new, never driver-verified). Each
+    # demotion keeps an in-cap family sibling: P2 downsample — the new
+    # lttb_downsample IS the downsample row's fresh direct coverage
+    # (decimation last banked green r7); J7/W4 gap-fill — gapfill_zero_1m
+    # stays in-cap (linear banked green r7); A8 percentiles —
+    # hdr_value_quantiles carries the exact interpolated percentile per row
+    # in-cap (percentile_summary banked green r7).
+    "decimation": "length(source) + epoch_s + token_count",
+    "gapfill_linear_1m": "length(source) + epoch_s"
+                         " + coalesce(cast(round(rate * 1000000, 0) as bigint), 0)"
+                         " + (case when filled then 1 else 0 end)",
+    "percentile_summary": "length(event_type) + n"
+                          " + coalesce(cast(round(p25 * 10000, 0) as bigint), 0)"
+                          " + coalesce(cast(round(p50 * 10000, 0) as bigint), 0)"
+                          " + coalesce(cast(round(p90 * 10000, 0) as bigint), 0)",
 }
 
 
@@ -2987,13 +3202,16 @@ def _suite_df(spark, sf_dir, rowexprs: dict[str, str]) -> DataFrame:
 
 @register("demoted_suite_4", _suite_oracle(_SUITE_ROWEXPR_4))
 def demoted_suite_4(spark, sf_dir):
-    """Suite checksum over the 15 entries rotated out in round 8 (see
+    """Suite checksum over the 18 entries rotated out in round 8 (see
     _SUITE_ROWEXPR_4) — each banked a direct green driver row in r7.
     sessionize/kappa_grid rotated late-r8 for the sketch-cascade entries
     (SURVEY rows keep in-cap siblings: lc_window_stats; topk_per_group +
     nearest_point); minhash_signatures/lsh_candidates rotated latest-r8 for
     tier_refresh_1h + span_dedup (both run as stages inside the in-cap
-    jaccard_verified chain).
+    jaccard_verified chain); decimation/gapfill_linear_1m/percentile_summary
+    rotated in wave 2 for counter_increase_1h + time_weighted_avg_1h +
+    lttb_downsample (family siblings in-cap: lttb_downsample itself,
+    gapfill_zero_1m, hdr_value_quantiles' exact interpolated percentile).
     (`demoted_suite` and `demoted_suite_2`, the r6/r7 carriers, were
     retired in rounds 7/8 respectively: every member promoted back inside
     the cap for direct rows.)"""
@@ -3054,6 +3272,12 @@ DRIVER_PRIORITY = [
     # the round-8 sketch cascades (first direct rows; never verified)
     "hll_user_cascade",
     "hdr_value_quantiles",
+    # late-r8 wave 2: counter/gauge semantics + LTTB downsample (first
+    # direct rows; never verified) — demotions documented at the tail of
+    # _SUITE_ROWEXPR_4
+    "counter_increase_1h",
+    "time_weighted_avg_1h",
+    "lttb_downsample",
     # checksum carriers: fresh per-entry evidence for 26 demoted siblings
     "demoted_suite_3",   # the r6 graduates still past the cap (green r6)
     "demoted_suite_4",   # the 13 entries rotated out this round (green r7)
@@ -3111,6 +3335,12 @@ DRIVER_DEMOTED = [
     # entries run as stages inside the in-cap jaccard_verified chain
     "minhash_signatures",
     "lsh_candidates",
+    # late-r8 wave 2: cap room for counter_increase_1h +
+    # time_weighted_avg_1h + lttb_downsample (family siblings stay in-cap;
+    # see the _SUITE_ROWEXPR_4 tail comment)
+    "decimation",
+    "gapfill_linear_1m",
+    "percentile_summary",
 ]
 
 

@@ -44,12 +44,28 @@ from pyspark.sql.types import LongType, StructField, StructType
 def lttb_indices(x: np.ndarray, y: np.ndarray, n_out: int) -> np.ndarray:
     """Indices LTTB keeps from a series already sorted by x (numpy kernel,
     also the test oracle's building block). n_out < 3 or n_out >= n returns
-    every index (downsampling to fewer than endpoints+1 is meaningless)."""
+    every index (downsampling to fewer than endpoints+1 is meaningless).
+
+    Integer inputs take an EXACT path: the centroid mean (the one division
+    in LTTB) is cleared by scaling each candidate's area by the next
+    bucket's count — a constant within the bucket, so the argmax is
+    bit-identical to canonical LTTB under exact arithmetic, and every term
+    is int64 (x/y are first shifted by their own first sample; triangle
+    area is translation-invariant, and the shift bounds the products far
+    below 2^63 for any realistic epoch/value series). This is what makes a
+    cross-engine SQL oracle possible: float64 centroids round differently
+    per engine's summation order; int64 products do not.
+    """
     n = len(x)
     if n_out >= n or n_out < 3:
         return np.arange(n)
-    x = x.astype(np.float64)
-    y = y.astype(np.float64)
+    ints = np.issubdtype(x.dtype, np.integer) and np.issubdtype(y.dtype, np.integer)
+    if ints:
+        x = (x - x[0]).astype(np.int64)
+        y = (y - y[0]).astype(np.int64)
+    else:
+        x = x.astype(np.float64)
+        y = y.astype(np.float64)
     # bucket b covers interior slice [edges[b], edges[b+1]) — near-equal split
     edges = 1 + np.floor(np.arange(n_out - 1) * (n - 2) / (n_out - 2)).astype(np.int64)
     edges[-1] = n - 1
@@ -60,12 +76,26 @@ def lttb_indices(x: np.ndarray, y: np.ndarray, n_out: int) -> np.ndarray:
         lo, hi = edges[b], edges[b + 1]
         if b + 2 <= n_out - 2:
             nlo, nhi = edges[b + 1], edges[b + 2]
-            cx, cy = x[nlo:nhi].mean(), y[nlo:nhi].mean()
+            if ints:
+                cnt = int(nhi - nlo)
+                sx, sy = int(x[nlo:nhi].sum()), int(y[nlo:nhi].sum())
+            else:
+                cx, cy = x[nlo:nhi].mean(), y[nlo:nhi].mean()
         else:  # last interior bucket: centroid is the final sample
-            cx, cy = x[n - 1], y[n - 1]
-        area = np.abs(
-            (x[a] - cx) * (y[lo:hi] - y[a]) - (x[a] - x[lo:hi]) * (cy - y[a])
-        )
+            if ints:
+                cnt, sx, sy = 1, int(x[n - 1]), int(y[n - 1])
+            else:
+                cx, cy = x[n - 1], y[n - 1]
+        if ints:
+            # cnt·area: (x_a − cx)·cnt = x_a·cnt − Σx, (cy − y_a)·cnt = Σy − y_a·cnt
+            area = np.abs(
+                (int(x[a]) * cnt - sx) * (y[lo:hi] - y[a])
+                - (x[a] - x[lo:hi]) * (sy - int(y[a]) * cnt)
+            )
+        else:
+            area = np.abs(
+                (x[a] - cx) * (y[lo:hi] - y[a]) - (x[a] - x[lo:hi]) * (cy - y[a])
+            )
         a = lo + int(np.argmax(area))  # argmax takes the FIRST max — stable
         out[b + 1] = a
     out[-1] = n - 1

@@ -132,3 +132,26 @@ def test_lttb_chunked_equals_per_chunk(spark):
         want_x.extend(g.epoch_s.to_numpy()[idx].tolist())
     assert list(got.epoch_s) == sorted(want_x)
     assert "_chunk" not in got.columns
+
+
+def test_lttb_integer_path_matches_float_reference():
+    """Integer inputs take the exact (division-free) path; on data whose
+    float64 rounding error is far below the area gaps, it must agree with
+    the float-arithmetic reference loop exactly."""
+    rng = np.random.default_rng(77)
+    for trial in range(6):
+        n = int(rng.integers(60, 400))
+        n_out = int(rng.integers(8, 40))
+        x = np.cumsum(rng.integers(1, 900, n)).astype(np.int64) + 1_700_000_000
+        y = rng.integers(-10_000, 10_000, n).astype(np.int64)
+        got = lttb_indices(x, y, n_out)
+        want = _ref_lttb(x, y, n_out)
+        assert list(got) == want, f"trial {trial}: n={n} n_out={n_out}"
+
+
+def test_lttb_integer_path_translation_invariant():
+    rng = np.random.default_rng(5)
+    x = np.cumsum(rng.integers(1, 50, 300)).astype(np.int64)
+    y = rng.integers(0, 5000, 300).astype(np.int64)
+    base = lttb_indices(x, y, 17)
+    assert list(lttb_indices(x + 1_700_000_000, y + 123_456, 17)) == list(base)

@@ -424,3 +424,41 @@ def test_span_dedup_plan_shape(spark):
     assert gen_lines
     for ln in gen_lines:
         assert "tokens#" not in ln[-100:], ln[-160:]
+
+
+def test_counter_increase_single_exchange(spark):
+    """The module's scale claim, verified in the plan: the cumsum window,
+    the lag window, and the (source, window) rollup all reuse ONE exchange
+    on source — HashPartitioning(source) satisfies the agg's clustered
+    distribution on (source, epoch_s) because source is a subset of the
+    grouping keys. A second exchange would mean the rollup re-shuffles
+    window-level partials it could have combined in place."""
+    from covsar_spark.contract import QUERIES
+
+    plan = _plan(QUERIES["counter_increase_1h"](spark, "/root/testdata/sf0.001"))
+    assert plan.count("Exchange") == 1, plan
+    assert "Python" not in plan
+
+
+def test_time_weighted_avg_single_exchange(spark):
+    """LOCF weights: the lead() window partitions by (source, window) and
+    the rollup groups by the same keys, so the whole operator is one
+    exchange — and per-series state never exceeds one tumbling window."""
+    from covsar_spark.contract import QUERIES
+
+    plan = _plan(QUERIES["time_weighted_avg_1h"](spark, "/root/testdata/sf0.001"))
+    assert plan.count("Exchange") == 1, plan
+    assert "Python" not in plan
+
+
+def test_lttb_single_grouped_map_pass(spark):
+    """LTTB is one applyInPandas over the series keys: exactly one
+    exchange, one Arrow grouped-map node, and the scan reads only the three
+    referenced columns (ts, event_type, value)."""
+    from covsar_spark.contract import QUERIES
+
+    plan = _plan(QUERIES["lttb_downsample"](spark, "/root/testdata/sf0.001"))
+    assert plan.count("Exchange") == 1, plan
+    assert "FlatMapGroupsInPandas" in plan
+    rs = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "props" not in rs and "user_id" not in rs
