@@ -284,7 +284,6 @@ def _compact_day(
     import math as _m
 
     jvm, _, fs = _hfs(spark, path)
-    day_dir = jvm.org.apache.hadoop.fs.Path(path, day)
     staged_dir = jvm.org.apache.hadoop.fs.Path(path, f"_compact_staging/{day}")
     nbytes = sum(captured.values())
     n_out = max(1, _m.ceil(nbytes / target_file_bytes))
@@ -298,6 +297,21 @@ def _compact_day(
         .write.mode("overwrite")
         .parquet(str(staged_dir))
     )
+    res = _commit_staged_day(spark, path, day, captured, staged_dir)
+    if res["status"] == "committed":
+        return {"day": day, "status": "compacted", "files_out": res["files_out"]}
+    return {"day": day, "status": res["status"], "files_out": 0}
+
+
+def _commit_staged_day(spark: SparkSession, path: str, day: str, captured: dict[str, int], staged_dir) -> dict:
+    """Shared atomic day-rewrite commit (compaction AND downsample-retention
+    use it, so the crash/concurrency contract is one code path): re-check
+    the live listing against the captured one (changed → discard staged,
+    skip — a concurrently appended file is never touched), write the intent
+    manifest, swap staged files in, delete exactly the captured inputs.
+    `_recover_compaction` replays an interrupted commit idempotently."""
+    jvm, _, fs = _hfs(spark, path)
+    day_dir = jvm.org.apache.hadoop.fs.Path(path, day)
     staged = sorted(
         f.getPath().getName()
         for f in fs.listStatus(staged_dir)
@@ -322,7 +336,130 @@ def _compact_day(
         fs.delete(jvm.org.apache.hadoop.fs.Path(day_dir, name), False)
     fs.delete(man_path, False)
     fs.delete(staged_dir, True)
-    return {"day": day, "status": "compacted", "files_out": len(staged)}
+    return {"day": day, "status": "committed", "files_out": len(staged)}
+
+
+def downsample_tier(
+    spark: SparkSession,
+    path: str,
+    older_than_epoch: int,
+    n_out: int,
+    value_col: str = "token_count",
+    keys: tuple[str, ...] = ("source",),
+    dry_run: bool = False,
+) -> dict:
+    """Age-based downsample-then-retain: rewrite every day partition whose
+    ENTIRE day lies strictly before `older_than_epoch` to at most `n_out`
+    LTTB-picked rows per series — the middle rung of the tier lifecycle
+    between keep-raw and drop-whole (`apply_retention`). TimescaleDB ships
+    this exact policy shape (downsample + retention on continuous
+    aggregates, public semantics); the reference instead keeps every epoch
+    directory forever (covsar/closure_inten.py:68-78).
+
+    Picked rows are WHOLE rows of the tier (all columns survive — the pick
+    uses (epoch_s, `value_col`) through the integer-exact LTTB kernel,
+    operators/downsample.lttb_indices), so schema, day partitioning, and
+    read_tier pruning are unchanged; only density drops (e.g. a 1m tier's
+    1440 rows/source/day → n_out=64 keeps extremes a dashboard needs where
+    stride decimation would lose them).
+
+    Concurrency/crash contract is compaction's, through the SAME
+    `_commit_staged_day` path: captured listing, staged rewrite outside the
+    live tree, skip if the listing changed, intent manifest replayed by
+    `_recover_compaction`. Idempotence: a rewritten day records an audit
+    marker `_downsample/<day>.json` (rows in/out, n_out, cutoff) and is
+    skipped on re-runs; a tier-refresh repair that rewrites a downsampled
+    day should delete the day's marker to re-arm the policy.
+
+    At 10^12 rows the scan cost is bounded by construction: only day
+    directories older than the cutoff are ever listed or read (partition
+    pruning by name), and of those only unmarked ones — steady state
+    touches exactly the days that aged past the horizon since the last run.
+
+    Returns {downsampled_days, skipped_days, already_days, kept_days,
+    recovered_days, rows_in, rows_out}.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..operators.downsample import lttb_indices
+
+    recovered = _recover_compaction(spark, path)
+    jvm, hpath, fs = _hfs(spark, path)
+    cutoff_day = int(older_than_epoch) // 86400
+    mark_dir = jvm.org.apache.hadoop.fs.Path(path, "_downsample")
+
+    from datetime import date
+
+    todo: list[tuple[str, dict[str, int]]] = []
+    kept = already = 0
+    for st in fs.listStatus(hpath):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("day=")):
+            continue
+        d = date.fromisoformat(name[4:])
+        day_ord = (d - date(1970, 1, 1)).days
+        if day_ord >= cutoff_day:
+            kept += 1
+            continue
+        if fs.exists(jvm.org.apache.hadoop.fs.Path(mark_dir, f"{name}.json")):
+            already += 1
+            continue
+        todo.append((name, _day_parquet_listing(jvm, fs, path, name)))
+
+    if dry_run:
+        return {
+            "downsampled_days": [], "skipped_days": [], "recovered_days": recovered,
+            "already_days": already, "kept_days": kept,
+            "candidate_days": [n for n, _ in todo], "rows_in": 0, "rows_out": 0,
+        }
+
+    gcols = list(keys)
+
+    def _pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["epoch_s"], kind="mergesort").reset_index(drop=True)
+        idx = lttb_indices(
+            pdf["epoch_s"].to_numpy(np.int64),
+            pdf[value_col].to_numpy(np.int64),
+            n_out,
+        )
+        return pdf.iloc[idx]
+
+    done, skipped = [], []
+    rows_in = rows_out = 0
+    for name, captured in todo:
+        inputs = [f"{path}/{name}/{f}" for f in sorted(captured)]
+        src = spark.read.parquet(*inputs)
+        n_in = src.count()
+        staged_dir = jvm.org.apache.hadoop.fs.Path(path, f"_compact_staging/{name}")
+        (
+            src.groupBy(*gcols)
+            .applyInPandas(_pick, src.schema)
+            .coalesce(1)  # a downsampled day is n_out x n_series rows — one file
+            .sortWithinPartitions(*gcols, "epoch_s")
+            .write.mode("overwrite")
+            .parquet(str(staged_dir))
+        )
+        res = _commit_staged_day(spark, path, name, captured, staged_dir)
+        if res["status"] != "committed":
+            skipped.append(name)
+            continue
+        n_out_rows = int(spark.read.parquet(f"{path}/{name}").count())
+        fs.mkdirs(mark_dir)
+        _write_small_json(
+            fs,
+            jvm.org.apache.hadoop.fs.Path(mark_dir, f"{name}.json"),
+            {"day": name, "cutoff_day": cutoff_day, "n_out": n_out,
+             "value_col": value_col, "rows_in": int(n_in), "rows_out": n_out_rows},
+        )
+        done.append(name)
+        rows_in += int(n_in)
+        rows_out += n_out_rows
+    return {
+        "downsampled_days": done, "skipped_days": skipped,
+        "recovered_days": recovered, "already_days": already, "kept_days": kept,
+        "rows_in": rows_in, "rows_out": rows_out,
+    }
 
 
 def compact_tier(

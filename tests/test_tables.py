@@ -263,3 +263,106 @@ def test_compact_recovery_completes_interrupted_commit(spark, tiny_cols, tmp_pat
     assert (after["token_count"].to_numpy() == expect["token_count"].to_numpy()).all()
     assert not os.path.exists(os.path.join(path, "_compaction", f"{day}.json"))
     assert not os.path.exists(os.path.join(path, "_compact_staging"))
+
+
+def _dense_tier(spark, n_days=6, n_src=2):
+    """Dense 1m tier: per source, one row per minute over n_days — the
+    density profile the downsample policy exists for (1440 rows/source/day)."""
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    rows = []
+    day0 = 1_700_006_400 - (1_700_006_400 % 86400)  # aligned day start
+    for s in range(n_src):
+        eps = day0 + 60 * np.arange(n_days * 1440, dtype=np.int64)
+        rows.append(
+            pd.DataFrame(
+                {
+                    "source": f"s{s}",
+                    "epoch_s": eps,
+                    "token_count": rng.integers(0, 5000, len(eps)).astype(np.int64),
+                    "rate": rng.random(len(eps)).round(6),
+                }
+            )
+        )
+    return pd.concat(rows, ignore_index=True), day0
+
+
+def test_downsample_tier_rewrites_only_old_days(spark, tmp_path):
+    import os
+
+    from covsar_spark.operators.downsample import lttb_indices
+    from covsar_spark.sources.tables import downsample_tier
+
+    pdf, day0 = _dense_tier(spark)
+    path = str(tmp_path / "tier_1m")
+    write_tier(spark.createDataFrame(pdf), path, "1m")
+    cutoff = day0 + 3 * 86400  # days 0-2 age out; 3-5 stay raw
+    young_days = {d for d in os.listdir(path) if d.startswith("day=")}
+
+    def listing(day):
+        return {f for f in os.listdir(os.path.join(path, day)) if f.endswith(".parquet")}
+
+    young_before = {
+        d: listing(d) for d in young_days
+    }
+    res = downsample_tier(spark, path, cutoff, n_out=48, value_col="token_count")
+    assert len(res["downsampled_days"]) == 3
+    assert res["kept_days"] == 3
+    assert res["rows_in"] == 3 * 2 * 1440
+    assert res["rows_out"] == 3 * 2 * 48
+
+    # young days byte-untouched
+    for d in sorted(young_days):
+        if d in res["downsampled_days"]:
+            continue
+        assert listing(d) == young_before[d], d
+
+    # old days: whole-row LTTB picks, exactly the kernel's choice per series
+    back = read_tier(spark, path).toPandas()
+    for day_idx in range(3):
+        lo = day0 + day_idx * 86400
+        g_day = pdf[(pdf.epoch_s >= lo) & (pdf.epoch_s < lo + 86400)]
+        got_day = back[(back.epoch_s >= lo) & (back.epoch_s < lo + 86400)]
+        for s, g in g_day.groupby("source"):
+            g = g.sort_values("epoch_s").reset_index(drop=True)
+            idx = lttb_indices(g.epoch_s.to_numpy(np.int64), g.token_count.to_numpy(np.int64), 48)
+            want = g.iloc[idx]
+            got = got_day[got_day.source == s].sort_values("epoch_s")
+            assert got.epoch_s.tolist() == want.epoch_s.tolist(), (day_idx, s)
+            # whole rows survive: the non-pick column rides along exactly
+            assert got.rate.tolist() == want.rate.tolist(), (day_idx, s)
+    # density: raw young days intact
+    assert len(back) == 3 * 2 * 1440 + 3 * 2 * 48
+
+
+def test_downsample_tier_idempotent_and_dry_run(spark, tmp_path):
+    import os
+
+    from covsar_spark.sources.tables import downsample_tier
+
+    pdf, day0 = _dense_tier(spark, n_days=4)
+    path = str(tmp_path / "tier_1m")
+    write_tier(spark.createDataFrame(pdf), path, "1m")
+    cutoff = day0 + 2 * 86400
+
+    dry = downsample_tier(spark, path, cutoff, n_out=24, dry_run=True)
+    assert len(dry["candidate_days"]) == 2 and not dry["downsampled_days"]
+
+    first = downsample_tier(spark, path, cutoff, n_out=24)
+    assert len(first["downsampled_days"]) == 2
+
+    def all_listings():
+        out = {}
+        for d in os.listdir(path):
+            if d.startswith("day="):
+                out[d] = sorted(
+                    f for f in os.listdir(os.path.join(path, d)) if f.endswith(".parquet")
+                )
+        return out
+
+    before = all_listings()
+    second = downsample_tier(spark, path, cutoff, n_out=24)
+    assert not second["downsampled_days"]
+    assert second["already_days"] == 2
+    assert all_listings() == before
