@@ -190,4 +190,22 @@ def refresh_tier_table(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
     rows = spark.read.parquet(path).filter(F.col("day").isin(dirty_days)).count()
     dirty.unpersist()
-    return {"n_dirty_windows": n_dirty, "dirty_days": dirty_days, "rows_written": rows}
+    # re-arm the downsample-retention policy for repaired days: the rewrite
+    # above restores FULL rollup density to each dirty day, so a stale
+    # `_downsample/<day>.json` audit marker would make downsample_tier skip
+    # the day forever (sources/tables.py documents this composition)
+    from ..sources.tables import _hfs
+
+    jvm, _, fs = _hfs(spark, path)
+    cleared = []
+    for d in dirty_days:
+        marker = jvm.org.apache.hadoop.fs.Path(path, f"_downsample/day={d}.json")
+        if fs.exists(marker):
+            fs.delete(marker, False)
+            cleared.append(f"day={d}")
+    return {
+        "n_dirty_windows": n_dirty,
+        "dirty_days": dirty_days,
+        "rows_written": rows,
+        "downsample_markers_cleared": cleared,
+    }

@@ -368,8 +368,9 @@ def downsample_tier(
     live tree, skip if the listing changed, intent manifest replayed by
     `_recover_compaction`. Idempotence: a rewritten day records an audit
     marker `_downsample/<day>.json` (rows in/out, n_out, cutoff) and is
-    skipped on re-runs; a tier-refresh repair that rewrites a downsampled
-    day should delete the day's marker to re-arm the policy.
+    skipped on re-runs; `refresh_tier_table` clears a repaired day's marker
+    automatically (its rewrite restores full density), so the policy re-arms
+    on the next run.
 
     At 10^12 rows the scan cost is bounded by construction: only day
     directories older than the cutoff are ever listed or read (partition

@@ -229,3 +229,44 @@ def test_stream_drops_late_batch_refresh_repairs(spark, tmp_path):
 
     repaired = refresh_token_tier(streamed, all_ts, late, "1m")
     _tiers_equal(repaired, rollup_tokens(all_ts, "1m"))
+
+
+def test_refresh_clears_downsample_marker_and_rearms_policy(spark, split, tmp_path):
+    """Composition with downsample-retention: a refresh repair restores full
+    density to a previously-downsampled day, so it must clear that day's
+    `_downsample/<day>.json` audit marker — the next policy run re-ages the
+    repaired day instead of marker-skipping it forever."""
+    from covsar_spark.schemas import EPOCH0_UNIX
+    from covsar_spark.sources.tables import downsample_tier, write_tier
+
+    all_ts, _, late = split
+    day2 = (EPOCH0_UNIX // 86400 + 2) * 86400
+    late = late.filter((F.col("epoch_s") >= day2) & (F.col("epoch_s") < day2 + 86400))
+    assert late.count() > 0
+    on_time = all_ts.join(late.select("doc_id"), "doc_id", "left_anti")
+    path = str(tmp_path / "tier1m")
+    write_tier(rollup_tokens(on_time, "1m"), path, "1m")
+
+    # age day 2 out via the policy first
+    n_out = 6
+    res = downsample_tier(spark, path, day2 + 86400, n_out=n_out)
+    import datetime as _dt
+
+    day_name = "day=" + _dt.datetime.fromtimestamp(day2, _dt.timezone.utc).date().isoformat()
+    assert day_name in res["downsampled_days"]
+    marker = os.path.join(path, "_downsample", f"{day_name}.json")
+    assert os.path.exists(marker)
+
+    metrics = refresh_tier_table(
+        spark, path, all_ts, late, TIERS["1m"],
+        lambda df: rollup_tokens(df, "1m"),
+    )
+    assert day_name.split("=", 1)[1] in metrics["dirty_days"]
+    assert day_name in metrics["downsample_markers_cleared"]
+    assert not os.path.exists(marker)
+
+    # the repaired day is raw again (full rollup density, == rebuild on that
+    # day)... and the policy re-arms: a re-run downsamples it once more
+    res2 = downsample_tier(spark, path, day2 + 86400, n_out=n_out)
+    assert day_name in res2["downsampled_days"]
+    assert os.path.exists(marker)
