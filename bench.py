@@ -276,6 +276,8 @@ BENCH_QUERIES = [
     "counter_increase_1h",
     "time_weighted_avg_1h",
     "lttb_downsample",
+    "state_durations_1h",
+    "ohlc_1h",
     "interferogram",
     "mean_lag_coherence",
     "kappa_grid",

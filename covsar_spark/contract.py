@@ -3026,6 +3026,100 @@ def time_weighted_avg_1h(spark, sf_dir):
     )
 
 
+# cents // 2500 → a 5-value state domain over events.value (0..~100)
+_STATE_DIV = 2500
+
+
+@register(
+    "state_durations_1h",
+    f"""
+    WITH s AS (
+      SELECT event_type AS source, epoch_us(ts) AS ts_us, event_id,
+             cast(round(value * 100) AS BIGINT) // {_STATE_DIV} AS state,
+             (epoch_us(ts) // 3600000000) * 3600000000 AS win_us
+      FROM events),
+    d AS (
+      SELECT source, win_us, state,
+             coalesce(lead(ts_us) OVER (PARTITION BY source, win_us
+                        ORDER BY ts_us, event_id),
+                      win_us + 3600000000) - ts_us AS dur
+      FROM s)
+    SELECT source, (win_us // 1000000) AS epoch_s, state,
+           sum(dur)::BIGINT AS dur_us,
+           count(*)::BIGINT AS n_samples
+    FROM d GROUP BY 1, 2, 3
+    """,
+)
+def state_durations_1h(spark, sf_dir):
+    """LOCF time-in-state per (source, hour, state) — TimescaleDB
+    state_agg semantics (operators/counters.state_durations): the state
+    (a 5-value bucket of value-cents) holds until the next sample in the
+    window, the last to window end. Durations are exact int64 segment
+    sums; per (source, window) they partition the time_weighted_avg_1h
+    weight exactly (pinned by pytest). One shuffle: the lead() window and
+    the (keys, window, state) groupBy share the (source, win) exchange."""
+    from .operators.counters import state_durations
+
+    ev = _read(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("event_type").alias("source"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id",
+        F.expr(f"cast(round(value * 100) as bigint) div {_STATE_DIV}").alias("state"),
+    )
+    return state_durations(
+        base, "state", keys=("source",), ts_us_col="ts_us",
+        order_cols=("event_id",), tier_s=3600,
+    )
+
+
+@register(
+    "ohlc_1h",
+    """
+    WITH s AS (
+      SELECT event_type AS source,
+             floor(epoch(ts))::BIGINT AS ts, event_id,
+             cast(round(value * 100) AS BIGINT) AS v,
+             (floor(epoch(ts))::BIGINT // 3600) * 3600 AS win
+      FROM events),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY source, win
+                                ORDER BY ts, event_id) AS rn_a,
+             row_number() OVER (PARTITION BY source, win
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM s)
+    SELECT source, win AS epoch_s,
+           max(CASE WHEN rn_a = 1 THEN v END)::BIGINT AS open,
+           max(v)::BIGINT AS high,
+           min(v)::BIGINT AS low,
+           max(CASE WHEN rn_d = 1 THEN v END)::BIGINT AS close,
+           count(*)::BIGINT AS n_samples
+    FROM r GROUP BY 1, 2
+    """,
+)
+def ohlc_1h(spark, sf_dir):
+    """Open/high/low/close candlestick rollup per (source, hour) over
+    value-cents — TimescaleDB ohlc()/candlestick_agg semantics
+    (operators/counters.ohlc). First/last are (ts, event_id)-ordered
+    row_number picks over the SAME (source, window) partitioning the
+    aggregation groups on: one shuffle end to end, fully tie-deterministic,
+    pure int64."""
+    from .operators.counters import ohlc
+
+    ev = _read(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("event_type").alias("source"),
+        F.unix_timestamp("ts").alias("epoch_s"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return ohlc(
+        base, "cents", keys=("source",), ts_col="epoch_s",
+        order_cols=("event_id",), tier_s=3600,
+    )
+
+
 _LTTB_N_OUT = 12
 
 
@@ -3168,6 +3262,16 @@ _SUITE_ROWEXPR_4 = {
                           " + coalesce(cast(round(p25 * 10000, 0) as bigint), 0)"
                           " + coalesce(cast(round(p50 * 10000, 0) as bigint), 0)"
                           " + coalesce(cast(round(p90 * 10000, 0) as bigint), 0)",
+    # late-r8 wave 3: cap room for state_durations_1h + ohlc_1h.
+    # collect_epochs' digest is a 32-char md5 hex — probe 8 ascii positions
+    # spread across it (positions 1+4i ≤ 29), position-weighted like
+    # _sha_chk's 64-char form
+    "sliding_avg": "event_id + user_id"
+                   " + coalesce(cast(round(smooth * 10000, 0) as bigint), 0)",
+    "collect_epochs": "length(source) + n_epochs + (" + " + ".join(
+        f"cast(ascii(substr(digest, {1 + 4 * i}, 1)) as bigint) * {10 ** (2 * i)}"
+        for i in range(8)
+    ) + ")",
 }
 
 
@@ -3202,7 +3306,7 @@ def _suite_df(spark, sf_dir, rowexprs: dict[str, str]) -> DataFrame:
 
 @register("demoted_suite_4", _suite_oracle(_SUITE_ROWEXPR_4))
 def demoted_suite_4(spark, sf_dir):
-    """Suite checksum over the 18 entries rotated out in round 8 (see
+    """Suite checksum over the 20 entries rotated out in round 8 (see
     _SUITE_ROWEXPR_4) — each banked a direct green driver row in r7.
     sessionize/kappa_grid rotated late-r8 for the sketch-cascade entries
     (SURVEY rows keep in-cap siblings: lc_window_stats; topk_per_group +
@@ -3211,7 +3315,10 @@ def demoted_suite_4(spark, sf_dir):
     jaccard_verified chain); decimation/gapfill_linear_1m/percentile_summary
     rotated in wave 2 for counter_increase_1h + time_weighted_avg_1h +
     lttb_downsample (family siblings in-cap: lttb_downsample itself,
-    gapfill_zero_1m, hdr_value_quantiles' exact interpolated percentile).
+    gapfill_zero_1m, hdr_value_quantiles' exact interpolated percentile);
+    sliding_avg/collect_epochs rotated in wave 3 for state_durations_1h +
+    ohlc_1h (W5 keeps trend_slope/rollup smoothing siblings, O5 keeps
+    topk_per_group).
     (`demoted_suite` and `demoted_suite_2`, the r6/r7 carriers, were
     retired in rounds 7/8 respectively: every member promoted back inside
     the cap for direct rows.)"""
@@ -3278,6 +3385,8 @@ DRIVER_PRIORITY = [
     "counter_increase_1h",
     "time_weighted_avg_1h",
     "lttb_downsample",
+    "state_durations_1h",
+    "ohlc_1h",
     # checksum carriers: fresh per-entry evidence for 26 demoted siblings
     "demoted_suite_3",   # the r6 graduates still past the cap (green r6)
     "demoted_suite_4",   # the 13 entries rotated out this round (green r7)
@@ -3341,6 +3450,12 @@ DRIVER_DEMOTED = [
     "decimation",
     "gapfill_linear_1m",
     "percentile_summary",
+    # late-r8 wave 3: cap room for state_durations_1h + ohlc_1h. W5's
+    # smoothing stays covered by trend_slope/rollup siblings and O5's
+    # per-group gather by topk_per_group + collect-free set ops; both
+    # demotions banked green rows in every round since r2
+    "sliding_avg",
+    "collect_epochs",
 ]
 
 

@@ -131,3 +131,91 @@ def time_weighted_avg(
             (F.col("w_sum") / F.col("dur_us_total")).alias("twa"),
         )
     )
+
+
+def state_durations(
+    df: DataFrame,
+    state_col: str,
+    keys: Sequence[str] = ("source",),
+    ts_us_col: str = "ts_us",
+    order_cols: Sequence[str] = (),
+    tier_s: int = 3600,
+) -> DataFrame:
+    """LOCF time-in-state per tumbling window (TimescaleDB ``state_agg``,
+    public semantics): each sample's state HOLDS until the next sample in
+    the same window (the last to window end), and the output is the total
+    held duration per (keys, window, state) — "how long was each service
+    degraded per hour", the query a plain count-per-state gets wrong under
+    irregular sampling.
+
+    Same self-contained-window segment math as ``time_weighted_avg`` (the
+    weight starts at the window's first sample), all int64. The groupBy
+    adds ``state_col`` to the window's own partition keys, so the lead()
+    exchange is REUSED — the whole operator is one shuffle."""
+    tier_us = tier_s * 1_000_000
+    with_win = df.select(
+        *keys,
+        F.col(ts_us_col).alias("_ts_us"),
+        F.col(state_col).alias("state"),
+        *order_cols,
+        (F.floor(F.col(ts_us_col) / tier_us) * tier_us).cast("long").alias("_win_us"),
+    )
+    w = Window.partitionBy(*keys, "_win_us").orderBy("_ts_us", *order_cols)
+    dur = F.coalesce(F.lead("_ts_us").over(w), F.col("_win_us") + tier_us) - F.col("_ts_us")
+    return (
+        with_win.withColumn("_dur", dur)
+        .groupBy(*keys, "_win_us", "state")
+        .agg(
+            F.sum("_dur").cast("long").alias("dur_us"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+        .select(
+            *keys,
+            (F.col("_win_us") / 1_000_000).cast("long").alias("epoch_s"),
+            "state",
+            "dur_us",
+            "n_samples",
+        )
+    )
+
+
+def ohlc(
+    df: DataFrame,
+    value_col: str,
+    keys: Sequence[str] = ("source",),
+    ts_col: str = "epoch_s",
+    order_cols: Sequence[str] = (),
+    tier_s: int = 3600,
+) -> DataFrame:
+    """Open/high/low/close candlestick rollup per tumbling window
+    (TimescaleDB ``ohlc()``/``candlestick_agg``, public semantics): open =
+    the window's first value in (ts, order) order, close = its last, high/
+    low = max/min. First/last come from two row_number() passes over the
+    SAME (keys, window) partitioning the aggregation groups on, so the
+    operator is one shuffle end to end; ties are broken by ``order_cols``
+    making the result replayable."""
+    win = (F.floor(F.col(ts_col) / tier_s) * tier_s).cast("long")
+    base = df.select(
+        *keys,
+        win.alias("_win"),
+        F.col(ts_col).alias("_ts"),
+        F.col(value_col).alias("_v"),
+        *order_cols,
+    )
+    asc = Window.partitionBy(*keys, "_win").orderBy("_ts", *order_cols)
+    dsc = Window.partitionBy(*keys, "_win").orderBy(
+        F.col("_ts").desc(), *[F.col(c).desc() for c in order_cols]
+    )
+    return (
+        base.withColumn("_ra", F.row_number().over(asc))
+        .withColumn("_rd", F.row_number().over(dsc))
+        .groupBy(*keys, "_win")
+        .agg(
+            F.max(F.when(F.col("_ra") == 1, F.col("_v"))).alias("open"),
+            F.max("_v").alias("high"),
+            F.min("_v").alias("low"),
+            F.max(F.when(F.col("_rd") == 1, F.col("_v"))).alias("close"),
+            F.count(F.lit(1)).alias("n_samples"),
+        )
+        .withColumnRenamed("_win", "epoch_s")
+    )

@@ -166,3 +166,104 @@ def test_twa_two_point_hand_case(spark):
     assert len(got) == 1
     assert got.twa.iloc[0] == 17.5
     assert int(got.dur_us_total.iloc[0]) == tier_us
+
+
+# ---------------------------------------------------------------------------
+# state_durations + ohlc (TimescaleDB state_agg / candlestick semantics)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def gauge_states(spark):
+    """Irregular samples with a small state domain; some windows hold only
+    one state, some flip every sample, one window is empty."""
+    rng = np.random.default_rng(13)
+    rows = []
+    for s in range(3):
+        t = 0
+        for i in range(150):
+            t += int(rng.integers(5, 900)) * 1_000_000
+            if t // (TIER * 1_000_000) == 1:  # hole: window 1 empty
+                t += TIER * 1_000_000
+            rows.append((f"g{s}", t, int(rng.integers(0, 4)), int(rng.integers(0, 10_000)), i))
+    pdf = pd.DataFrame(rows, columns=["source", "ts_us", "state", "val", "ord"])
+    return spark.createDataFrame(pdf), pdf
+
+
+def _ref_state_durations(pdf: pd.DataFrame) -> dict:
+    tier_us = TIER * 1_000_000
+    out = {}
+    for key, g in pdf.groupby("source"):
+        g = g.sort_values(["ts_us", "ord"], kind="mergesort").reset_index(drop=True)
+        for i, r in g.iterrows():
+            w = (r.ts_us // tier_us) * tier_us
+            nxt = g.ts_us[i + 1] if i + 1 < len(g) and (g.ts_us[i + 1] // tier_us) * tier_us == w else w + tier_us
+            slot = out.setdefault((key, w // 1_000_000, r.state), [0, 0])
+            slot[0] += int(nxt - r.ts_us)
+            slot[1] += 1
+    return out
+
+
+def test_state_durations_matches_loop(spark, gauge_states):
+    from covsar_spark.operators.counters import state_durations
+
+    sdf, pdf = gauge_states
+    got = state_durations(sdf, "state", keys=("source",), ts_us_col="ts_us",
+                          order_cols=("ord",), tier_s=TIER).toPandas()
+    want = _ref_state_durations(pdf)
+    assert len(got) == len(want)
+    for _, r in got.iterrows():
+        dur, n = want[(r.source, r.epoch_s, r.state)]
+        assert (int(r.dur_us), int(r.n_samples)) == (dur, n), (r.source, r.epoch_s, r.state)
+
+
+def test_state_durations_sum_to_window_weight(spark, gauge_states):
+    """Per (source, window): state durations partition the TWA weight —
+    their sum equals window_end - first_sample_ts exactly."""
+    from covsar_spark.operators.counters import state_durations
+
+    sdf, pdf = gauge_states
+    got = state_durations(sdf, "state", keys=("source",), ts_us_col="ts_us",
+                          order_cols=("ord",), tier_s=TIER).toPandas()
+    tier_us = TIER * 1_000_000
+    tot = got.groupby(["source", "epoch_s"])["dur_us"].sum()
+    for (src, w), dur in tot.items():
+        g = pdf[(pdf.source == src) & (pdf.ts_us // tier_us * tier_us == w * 1_000_000)]
+        assert dur == w * 1_000_000 + tier_us - int(g.ts_us.min())
+
+
+def _ref_ohlc(pdf: pd.DataFrame) -> dict:
+    out = {}
+    for key, g in pdf.groupby("source"):
+        for w, gw in g.groupby((g.epoch_s // TIER) * TIER):
+            gw = gw.sort_values(["epoch_s", "ord"], kind="mergesort")
+            out[(key, w)] = (
+                int(gw.val.iloc[0]), int(gw.val.max()), int(gw.val.min()),
+                int(gw.val.iloc[-1]), len(gw),
+            )
+    return out
+
+
+def test_ohlc_matches_loop(spark, gauge_states):
+    from covsar_spark.operators.counters import ohlc
+
+    sdf, pdf = gauge_states
+    pdf = pdf.assign(epoch_s=pdf.ts_us // 1_000_000)
+    got = ohlc(spark.createDataFrame(pdf), "val", keys=("source",),
+               ts_col="epoch_s", order_cols=("ord",), tier_s=TIER).toPandas()
+    want = _ref_ohlc(pdf)
+    assert len(got) == len(want)
+    for _, r in got.iterrows():
+        o, h, lo, c, n = want[(r.source, r.epoch_s)]
+        assert (r.open, r.high, r.low, r.close, r.n_samples) == (o, h, lo, c, n)
+
+
+def test_ohlc_tie_on_timestamp_breaks_by_order(spark):
+    from covsar_spark.operators.counters import ohlc
+
+    pdf = pd.DataFrame(
+        {"source": "x", "epoch_s": [100, 100, 100], "val": [5, 9, 2], "ord": [2, 0, 1]}
+    )
+    got = ohlc(spark.createDataFrame(pdf), "val", keys=("source",),
+               ts_col="epoch_s", order_cols=("ord",), tier_s=TIER).toPandas()
+    assert got.iloc[0][["open", "high", "low", "close"]].tolist() == [9, 9, 2, 5]

@@ -462,3 +462,24 @@ def test_lttb_single_grouped_map_pass(spark):
     assert "FlatMapGroupsInPandas" in plan
     rs = plan.split("ReadSchema:")[1].splitlines()[0]
     assert "props" not in rs and "user_id" not in rs
+
+
+def test_state_durations_single_exchange(spark):
+    """state_agg semantics: the lead() window partitions by (source, win)
+    and the groupBy adds only `state` on top — a superset, so the exchange
+    is reused and the operator is one shuffle."""
+    from covsar_spark.contract import QUERIES
+
+    plan = _plan(QUERIES["state_durations_1h"](spark, "/root/testdata/sf0.001"))
+    assert plan.count("Exchange") == 1, plan
+    assert "Python" not in plan
+
+
+def test_ohlc_single_exchange(spark):
+    """Candlestick rollup: both row_number() passes and the aggregation
+    share the (source, window) partitioning — one shuffle end to end."""
+    from covsar_spark.contract import QUERIES
+
+    plan = _plan(QUERIES["ohlc_1h"](spark, "/root/testdata/sf0.001"))
+    assert plan.count("Exchange") == 1, plan
+    assert "Python" not in plan
