@@ -1,7 +1,9 @@
 """Counter and gauge window semantics for the tier engine: reset-aware
 counter increase/rate (Prometheus ``increase()``/``rate()``, public
-semantics) and LOCF time-weighted averages (TimescaleDB ``time_weight``,
-public semantics) as tumbling-window rollups.
+semantics), LOCF time-weighted averages and time-in-state durations
+(TimescaleDB ``time_weight`` / ``state_agg``, public semantics), and
+open/high/low/close candlestick rollups (TimescaleDB ``ohlc()``), all as
+tumbling-window rollups.
 
 Reference analogue: the reference's products are built by differencing a
 CUMULATIVE series and windowing the differences — interferograms are
@@ -13,19 +15,22 @@ a 10^12-row telemetry store actually has: the accumulator RESETS when its
 producer restarts, and a correct engine must fold the reset into the delta
 instead of emitting a huge negative spike.
 
-Exactness: both operators are pure integer window/aggregate math (callers
-scale float inputs to integer units first); sums of int64 are
+Exactness: every operator here is pure integer window/aggregate math
+(callers scale float inputs to integer units first); sums of int64 are
 order-independent, so the DuckDB oracle matches bit-for-bit with a single
-terminal float division per output row.
+terminal float division per output row where one exists at all.
 
 Scale notes (100 TB / 1000 executors):
 - ``counter_increase``: ONE shuffle on the series keys for the lag (window
   state = one row per series partition stream), then a map-side partial agg
   into the (keys, window) rollup — the second exchange carries only
   window-level partials.
-- ``time_weighted_avg``: the lead() window is (keys, WINDOW) — intra-window
-  only, so a series never has to be resident on one executor beyond a
-  single tumbling window of samples; skewed series salt by window for free.
+- ``time_weighted_avg`` / ``state_durations`` / ``ohlc``: every window
+  function partitions by (keys, WINDOW) and the aggregation groups on a
+  superset of those keys, so each operator is ONE shuffle end to end
+  (plan-pinned in tests/test_plans.py) and a series never has to be
+  resident on one executor beyond a single tumbling window of samples;
+  skewed series salt by window for free.
 """
 
 from __future__ import annotations
