@@ -278,6 +278,7 @@ BENCH_QUERIES = [
     "lttb_downsample",
     "state_durations_1h",
     "ohlc_1h",
+    "heartbeat_coverage_1h",
     "interferogram",
     "mean_lag_coherence",
     "kappa_grid",

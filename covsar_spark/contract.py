@@ -3026,6 +3026,61 @@ def time_weighted_avg_1h(spark, sf_dir):
     )
 
 
+# liveness interval: a beat asserts 15 minutes of uptime
+_HB_INTERVAL_US = 900 * 1_000_000
+
+
+@register(
+    "heartbeat_coverage_1h",
+    f"""
+    WITH s AS (
+      SELECT event_type AS source, epoch_us(ts) AS ts_us, event_id,
+             (epoch_us(ts) // 3600000000) * 3600000000 AS win_us
+      FROM events),
+    d AS (
+      SELECT source, win_us,
+             least({_HB_INTERVAL_US},
+                   coalesce(lead(ts_us) OVER (PARTITION BY source, win_us
+                              ORDER BY ts_us, event_id),
+                            win_us + 3600000000) - ts_us) AS cov,
+             CASE WHEN lead(ts_us) OVER (PARTITION BY source, win_us
+                          ORDER BY ts_us, event_id) - ts_us >= {_HB_INTERVAL_US}
+                  THEN 1 ELSE 0 END AS gap
+      FROM s)
+    SELECT source, (win_us // 1000000) AS epoch_s,
+           sum(cov)::BIGINT AS covered_us,
+           count(*)::BIGINT AS n_beats,
+           sum(gap)::BIGINT AS gaps,
+           round(sum(cov)::BIGINT / 3600000000.0, 6) AS uptime_frac
+    FROM d GROUP BY 1, 2
+    """,
+)
+def heartbeat_coverage_1h(spark, sf_dir):
+    """Liveness coverage per (source, hour) — TimescaleDB heartbeat_agg
+    semantics (operators/counters.heartbeat_coverage): each event is a
+    heartbeat asserting 15 minutes of uptime; covered time is the EXACT
+    interval union via the ordered min(interval, gap) sweep (no interval
+    explosion — pytest pins it against a brute segment-merge), plus dead-
+    period counts. One shuffle; int64 throughout; uptime_frac is the one
+    terminal float division, 6dp-rounded both engines."""
+    from .operators.counters import heartbeat_coverage
+
+    ev = _read(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("event_type").alias("source"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "event_id",
+    )
+    out = heartbeat_coverage(
+        base, _HB_INTERVAL_US, keys=("source",), ts_us_col="ts_us",
+        order_cols=("event_id",), tier_s=3600,
+    )
+    return out.select(
+        "source", "epoch_s", "covered_us", "n_beats", "gaps",
+        F.round("uptime_frac", 6).cast("double").alias("uptime_frac"),
+    )
+
+
 # cents // 2500 → a 5-value state domain over events.value (0..~100)
 _STATE_DIV = 2500
 
@@ -3272,6 +3327,7 @@ _SUITE_ROWEXPR_4 = {
         f"cast(ascii(substr(digest, {1 + 4 * i}, 1)) as bigint) * {10 ** (2 * i)}"
         for i in range(8)
     ) + ")",
+    "session_attribution": "event_id + user_id + ts_s + session_start",
 }
 
 
@@ -3306,7 +3362,7 @@ def _suite_df(spark, sf_dir, rowexprs: dict[str, str]) -> DataFrame:
 
 @register("demoted_suite_4", _suite_oracle(_SUITE_ROWEXPR_4))
 def demoted_suite_4(spark, sf_dir):
-    """Suite checksum over the 20 entries rotated out in round 8 (see
+    """Suite checksum over the 21 entries rotated out in round 8 (see
     _SUITE_ROWEXPR_4) — each banked a direct green driver row in r7.
     sessionize/kappa_grid rotated late-r8 for the sketch-cascade entries
     (SURVEY rows keep in-cap siblings: lc_window_stats; topk_per_group +
@@ -3316,9 +3372,10 @@ def demoted_suite_4(spark, sf_dir):
     rotated in wave 2 for counter_increase_1h + time_weighted_avg_1h +
     lttb_downsample (family siblings in-cap: lttb_downsample itself,
     gapfill_zero_1m, hdr_value_quantiles' exact interpolated percentile);
-    sliding_avg/collect_epochs rotated in wave 3 for state_durations_1h +
-    ohlc_1h (W5 keeps trend_slope/rollup smoothing siblings, O5 keeps
-    topk_per_group).
+    sliding_avg/collect_epochs/session_attribution rotated in wave 3 for
+    state_durations_1h + ohlc_1h + heartbeat_coverage_1h (W5 keeps
+    trend_slope/rollup smoothing siblings, O5 keeps topk_per_group, the
+    range-join family keeps asof_join).
     (`demoted_suite` and `demoted_suite_2`, the r6/r7 carriers, were
     retired in rounds 7/8 respectively: every member promoted back inside
     the cap for direct rows.)"""
@@ -3387,6 +3444,7 @@ DRIVER_PRIORITY = [
     "lttb_downsample",
     "state_durations_1h",
     "ohlc_1h",
+    "heartbeat_coverage_1h",
     # checksum carriers: fresh per-entry evidence for 26 demoted siblings
     "demoted_suite_3",   # the r6 graduates still past the cap (green r6)
     "demoted_suite_4",   # the 13 entries rotated out this round (green r7)
@@ -3450,12 +3508,15 @@ DRIVER_DEMOTED = [
     "decimation",
     "gapfill_linear_1m",
     "percentile_summary",
-    # late-r8 wave 3: cap room for state_durations_1h + ohlc_1h. W5's
-    # smoothing stays covered by trend_slope/rollup siblings and O5's
-    # per-group gather by topk_per_group + collect-free set ops; both
-    # demotions banked green rows in every round since r2
+    # late-r8 wave 3: cap room for state_durations_1h + ohlc_1h +
+    # heartbeat_coverage_1h. W5's smoothing stays covered by
+    # trend_slope/rollup siblings, O5's per-group gather by topk_per_group +
+    # collect-free set ops, and the range-join family keeps asof_join (the
+    # AS-OF row) in-cap; all three demotions banked green rows in every
+    # round since r2
     "sliding_avg",
     "collect_epochs",
+    "session_attribution",
 ]
 
 

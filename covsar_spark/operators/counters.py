@@ -224,3 +224,60 @@ def ohlc(
         )
         .withColumnRenamed("_win", "epoch_s")
     )
+
+
+def heartbeat_coverage(
+    df: DataFrame,
+    interval_us: int,
+    keys: Sequence[str] = ("source",),
+    ts_us_col: str = "ts_us",
+    order_cols: Sequence[str] = (),
+    tier_s: int = 3600,
+) -> DataFrame:
+    """Liveness coverage per tumbling window (TimescaleDB ``heartbeat_agg``,
+    public semantics): each heartbeat asserts liveness for ``interval_us``
+    after itself; the window's covered time is the measure of the UNION of
+    those [ts, ts+interval) segments clipped to the window — overlaps from
+    fast heartbeats never double-count, and the union needs no interval
+    explosion because samples are time-ordered: each heartbeat contributes
+    ``min(interval, next_ts − ts)`` (the last one ``min(interval,
+    window_end − ts)``), the same ordered-lag sweep the span-dedup coverage
+    uses (operators/dedup.py). Emits ``covered_us``, ``n_beats``, ``gaps``
+    (count of dead periods ≥ interval between consecutive beats), and
+    ``uptime_frac`` — the one terminal float division.
+
+    Window semantics are self-contained like the module's other LOCF ops:
+    coverage starts at the window's first beat (a beat in the previous
+    window does not reach across — windows stay independently mergeable).
+    One shuffle: the lead() window partitions by (keys, WINDOW) and the
+    rollup groups on the same keys."""
+    tier_us = tier_s * 1_000_000
+    with_win = df.select(
+        *keys,
+        F.col(ts_us_col).alias("_ts_us"),
+        *order_cols,
+        (F.floor(F.col(ts_us_col) / tier_us) * tier_us).cast("long").alias("_win_us"),
+    )
+    w = Window.partitionBy(*keys, "_win_us").orderBy("_ts_us", *order_cols)
+    nxt = F.lead("_ts_us").over(w)
+    reach = F.coalesce(nxt, F.col("_win_us") + tier_us) - F.col("_ts_us")
+    covered = F.least(F.lit(int(interval_us)), reach)
+    gap = F.when(nxt.isNotNull() & ((nxt - F.col("_ts_us")) >= int(interval_us)), 1).otherwise(0)
+    return (
+        with_win.withColumn("_cov", covered)
+        .withColumn("_gap", gap)
+        .groupBy(*keys, "_win_us")
+        .agg(
+            F.sum("_cov").cast("long").alias("covered_us"),
+            F.count(F.lit(1)).alias("n_beats"),
+            F.sum("_gap").cast("long").alias("gaps"),
+        )
+        .select(
+            *keys,
+            (F.col("_win_us") / 1_000_000).cast("long").alias("epoch_s"),
+            "covered_us",
+            "n_beats",
+            "gaps",
+            (F.col("covered_us") / F.lit(float(tier_us))).alias("uptime_frac"),
+        )
+    )

@@ -267,3 +267,64 @@ def test_ohlc_tie_on_timestamp_breaks_by_order(spark):
     got = ohlc(spark.createDataFrame(pdf), "val", keys=("source",),
                ts_col="epoch_s", order_cols=("ord",), tier_s=TIER).toPandas()
     assert got.iloc[0][["open", "high", "low", "close"]].tolist() == [9, 9, 2, 5]
+
+
+def _ref_heartbeat(pdf: pd.DataFrame, interval_us: int) -> dict:
+    """Brute interval-union reference: per (source, window) merge the
+    sorted [ts, min(ts+interval, win_end)) segments explicitly."""
+    tier_us = TIER * 1_000_000
+    out = {}
+    for key, g in pdf.groupby("source"):
+        for w, gw in g.groupby((g.ts_us // tier_us) * tier_us):
+            ts = sorted(gw.ts_us.tolist())
+            segs = [(t, min(t + interval_us, w + tier_us)) for t in ts]
+            covered, cur_lo, cur_hi = 0, None, None
+            for lo, hi in segs:
+                if cur_hi is None or lo > cur_hi:
+                    if cur_hi is not None:
+                        covered += cur_hi - cur_lo
+                    cur_lo, cur_hi = lo, hi
+                else:
+                    cur_hi = max(cur_hi, hi)
+            if cur_hi is not None:
+                covered += cur_hi - cur_lo
+            gaps = sum(1 for a, b in zip(ts, ts[1:]) if b - a >= interval_us)
+            out[(key, w // 1_000_000)] = (covered, len(ts), gaps)
+    return out
+
+
+def test_heartbeat_coverage_matches_interval_union(spark, gauge_states):
+    from covsar_spark.operators.counters import heartbeat_coverage
+
+    sdf, pdf = gauge_states
+    interval = 600 * 1_000_000
+    got = heartbeat_coverage(sdf, interval, keys=("source",), ts_us_col="ts_us",
+                             order_cols=("ord",), tier_s=TIER).toPandas()
+    want = _ref_heartbeat(pdf, interval)
+    assert len(got) == len(want)
+    overlapped = dead = 0
+    for _, r in got.iterrows():
+        cov, n, gaps = want[(r.source, r.epoch_s)]
+        assert (int(r.covered_us), int(r.n_beats), int(r.gaps)) == (cov, n, gaps)
+        assert abs(r.uptime_frac - cov / (TIER * 1e6)) < 1e-12
+        overlapped += int(cov < min(n * interval, TIER * 1_000_000))
+        dead += int(gaps > 0)
+    # the fixture must exercise both overlap-dedup and dead periods
+    assert overlapped > 5 and dead > 5
+
+
+def test_heartbeat_coverage_hand_case(spark):
+    from covsar_spark.operators.counters import heartbeat_coverage
+
+    us = 1_000_000
+    base = (1_700_000_000 // TIER) * TIER * us
+    # beats at +0s, +5s (overlap), +100s (gap), +3590s (clipped by window end)
+    pdf = pd.DataFrame({"source": "h", "ts_us": np.array(
+        [base, base + 5 * us, base + 100 * us, base + 3590 * us], dtype=np.int64),
+        "ord": np.arange(4, dtype=np.int64)})
+    got = heartbeat_coverage(spark.createDataFrame(pdf), 30 * us, keys=("source",),
+                             ts_us_col="ts_us", order_cols=("ord",), tier_s=TIER).toPandas()
+    # union: [0,35) ∪ [100,130) ∪ [3590,3600) = 35 + 30 + 10 = 75 s
+    assert got.covered_us.tolist() == [75 * us]
+    assert got.gaps.tolist() == [2]  # 5→100 and 100→3590
+    assert got.n_beats.tolist() == [4]

@@ -483,3 +483,11 @@ def test_ohlc_single_exchange(spark):
     plan = _plan(QUERIES["ohlc_1h"](spark, "/root/testdata/sf0.001"))
     assert plan.count("Exchange") == 1, plan
     assert "Python" not in plan
+
+
+def test_heartbeat_coverage_single_exchange(spark):
+    from covsar_spark.contract import QUERIES
+
+    plan = _plan(QUERIES["heartbeat_coverage_1h"](spark, "/root/testdata/sf0.001"))
+    assert plan.count("Exchange") == 1, plan
+    assert "Python" not in plan
