@@ -61,9 +61,14 @@ STATE_SCHEMA = T.StructType(
 )
 
 
-def counter_increase_stream(stream: DataFrame, tier_s: int = 3600) -> DataFrame:
+def counter_increase_stream(
+    stream: DataFrame, tier_s: int = 3600, output_mode: str = "update"
+) -> DataFrame:
     """Per-(source, tumbling window) partial increase rows, one set per
-    micro-batch. Input columns: (source, epoch_s, ord, ctr)."""
+    micro-batch. Input columns: (source, epoch_s, ord, ctr). Emitted rows
+    are batch-scoped FACTS (never retracted — the finalized tier is their
+    sum), so ``output_mode='append'`` is equally valid and enables file
+    sinks with exactly-once checkpointing."""
 
     def _update(
         key: Tuple[str], pdfs: Iterable[pd.DataFrame], state: GroupState
@@ -94,7 +99,7 @@ def counter_increase_stream(stream: DataFrame, tier_s: int = 3600) -> DataFrame:
         yield out
 
     return stream.groupBy("source").applyInPandasWithState(
-        _update, OUT_SCHEMA, STATE_SCHEMA, "update", GroupStateTimeout.NoTimeout
+        _update, OUT_SCHEMA, STATE_SCHEMA, output_mode, GroupStateTimeout.NoTimeout
     )
 
 
@@ -120,3 +125,32 @@ def run_counter_stream_to_memory(
     q.processAllAvailable()
     q.stop()
     return spark.sql(f"SELECT * FROM {name}")
+
+
+def run_counter_stream_to_tier(
+    spark: SparkSession, path: str, out_dir: str, tier_s: int = 3600,
+    max_files: int = 1,
+) -> str:
+    """Exactly-once file-sink form: drive the (possibly grown) source dir to
+    completion and return the partial-tier path. The checkpoint carries
+    source offsets, the sink commit log AND the per-series GroupState —
+    a re-invocation after new files arrive processes only the new data,
+    appends only its partials, and the carried last-counter value survives
+    the restart (pinned by tests/test_streaming_counter.py)."""
+    stream = (
+        spark.readStream.schema(COUNTER_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(path)
+    )
+    tier_path = f"{out_dir}/counter_partials"
+    q = (
+        counter_increase_stream(stream, tier_s=tier_s, output_mode="append")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", tier_path)
+        .option("checkpointLocation", f"{out_dir}/_ctr_checkpoint")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return tier_path

@@ -70,10 +70,15 @@ STATE_SCHEMA = T.StructType(
 )
 
 
-def time_weighted_avg_stream(stream: DataFrame, tier_s: int = 3600) -> DataFrame:
+def time_weighted_avg_stream(
+    stream: DataFrame, tier_s: int = 3600, output_mode: str = "update"
+) -> DataFrame:
     """Finalized per-(source, window) LOCF time-weighted rows, emitted when
     a later-window sample (or the ``ord < 0`` flush sentinel) closes the
-    window. Input columns: (source, ts_us, ord, val)."""
+    window. Input columns: (source, ts_us, ord, val). Every emitted row is
+    FINAL (each (source, window) appears exactly once), so
+    ``output_mode='append'`` is equally valid and enables file sinks with
+    exactly-once checkpointing."""
     tier_us = tier_s * 1_000_000
 
     def _update(
@@ -152,7 +157,7 @@ def time_weighted_avg_stream(stream: DataFrame, tier_s: int = 3600) -> DataFrame
             yield res
 
     return stream.groupBy("source").applyInPandasWithState(
-        _update, OUT_SCHEMA, STATE_SCHEMA, "update", GroupStateTimeout.NoTimeout
+        _update, OUT_SCHEMA, STATE_SCHEMA, output_mode, GroupStateTimeout.NoTimeout
     )
 
 
@@ -175,3 +180,31 @@ def run_gauge_stream_to_memory(
     q.processAllAvailable()
     q.stop()
     return spark.sql(f"SELECT * FROM {name}")
+
+
+def run_gauge_stream_to_tier(
+    spark: SparkSession, path: str, out_dir: str, tier_s: int = 3600,
+    max_files: int = 1,
+) -> str:
+    """Exactly-once file-sink form: each (source, window) row is emitted
+    exactly once, and the checkpoint carries source offsets, the sink
+    commit log AND the open-window GroupState — a re-invocation after new
+    files (or the flush sentinel) arrive finalizes only the still-open
+    windows, merging the carried int64 partials across the restart."""
+    stream = (
+        spark.readStream.schema(GAUGE_SCHEMA)
+        .option("maxFilesPerTrigger", max_files)
+        .parquet(path)
+    )
+    tier_path = f"{out_dir}/gauge_tier"
+    q = (
+        time_weighted_avg_stream(stream, tier_s=tier_s, output_mode="append")
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", tier_path)
+        .option("checkpointLocation", f"{out_dir}/_gauge_checkpoint")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return tier_path

@@ -101,3 +101,55 @@ def test_streamed_counter_state_is_one_row_per_series(spark, tmp_path):
     # increase = within-run deltas (450 + 360) + post-reset absolute (3)
     assert total.loc[0, "increase"] == 450 + 3 + 360
     assert total.loc[0, "n_resets"] == 1
+
+
+def test_counter_stream_restart_exactly_once(spark, tmp_path):
+    """Checkpointed file-sink restart: the second invocation (after later
+    chunks land in the source dir) processes ONLY the new files, appends
+    only their partials, and the carried last-counter state survives the
+    restart — so the summed tier equals the batch operator on the full
+    data, which double-emission or state loss would both break."""
+    from covsar_spark.streaming.counter_stream import run_counter_stream_to_tier
+
+    pdf = _planted(29)
+    path = str(tmp_path / "scrape")
+    out = str(tmp_path / "tiers")
+    # run 1: first 4 of 7 chunks
+    _write_ordered_chunks(pdf, path, n_chunks=7)
+    all_chunks = sorted(os.listdir(path))
+    held_back = all_chunks[4:]
+    import shutil
+
+    for f in held_back:
+        shutil.move(os.path.join(path, f), os.path.join(str(tmp_path), f))
+    tier = run_counter_stream_to_tier(spark, path, out, tier_s=3600)
+    first = spark.read.parquet(tier).toPandas()
+    assert len(first) > 0
+
+    # run 2: later chunks arrive, same checkpoint
+    for f in held_back:
+        shutil.move(os.path.join(str(tmp_path), f), os.path.join(path, f))
+    tier = run_counter_stream_to_tier(spark, path, out, tier_s=3600)
+    both = spark.read.parquet(tier).toPandas()
+    assert len(both) > len(first)
+
+    # run-1 partials survive byte-identically (multiset containment)
+    key = ["source", "epoch_s", "increase", "n_samples", "n_resets"]
+    c1 = first.groupby(key).size()
+    c2 = both.groupby(key).size()
+    joined = pd.concat([c1, c2], axis=1, keys=["a", "b"]).fillna(0)
+    assert (joined["b"] >= joined["a"]).all(), "a run-1 partial vanished or changed"
+
+    summed = (
+        both.groupby(["source", "epoch_s"], as_index=False)
+        .agg(increase=("increase", "sum"), n_samples=("n_samples", "sum"), n_resets=("n_resets", "sum"))
+        .sort_values(["source", "epoch_s"]).reset_index(drop=True)
+    )
+    batch = (
+        counter_increase(
+            spark.createDataFrame(pdf), "ctr", keys=("source",),
+            ts_col="epoch_s", order_cols=("ord",), tier_s=3600,
+        ).toPandas().sort_values(["source", "epoch_s"]).reset_index(drop=True)
+    )
+    for c in ("source", "epoch_s", "increase", "n_samples", "n_resets"):
+        assert summed[c].tolist() == batch[c].tolist(), c

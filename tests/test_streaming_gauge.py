@@ -107,3 +107,51 @@ def test_streamed_gauge_window_split_across_batches(spark, tmp_path):
     assert got["w_sum"].tolist() == [w0, 7 * TIER_S * US]
     assert got["dur_us_total"].tolist() == [(TIER_S - 100) * US, TIER_S * US]
     assert got["n_samples"].tolist() == [3, 1]
+
+
+def test_gauge_stream_restart_exactly_once(spark, tmp_path):
+    """Checkpointed file-sink restart: run 1 (no flush) finalizes only the
+    windows a later-window sample closed; run 2 delivers the rest of the
+    chunks + the flush sentinel and finalizes ONLY the remaining windows —
+    open-window int64 partials crossing the restart through the state
+    store. Full tier == batch operator, zero duplicate windows."""
+    import shutil
+
+    from covsar_spark.streaming.gauge_stream import run_gauge_stream_to_tier
+
+    pdf = _planted(17)
+    path = str(tmp_path / "gauge")
+    out = str(tmp_path / "tiers")
+    _write_chunks(pdf, path, n_chunks=6, flush=True)
+    all_chunks = sorted(os.listdir(path))
+    held_back = all_chunks[3:]  # includes the flush chunk
+    for f in held_back:
+        shutil.move(os.path.join(path, f), os.path.join(str(tmp_path), f))
+
+    tier = run_gauge_stream_to_tier(spark, path, out, tier_s=TIER_S)
+    first = spark.read.parquet(tier).toPandas()
+    assert len(first) > 0
+
+    for f in held_back:
+        shutil.move(os.path.join(str(tmp_path), f), os.path.join(path, f))
+    tier = run_gauge_stream_to_tier(spark, path, out, tier_s=TIER_S)
+    both = spark.read.parquet(tier)
+    s = both.toPandas()
+    assert len(s) > len(first)
+    dup = both.groupBy("source", "epoch_s").count().filter("count > 1").count()
+    assert dup == 0, "restart re-finalized an already-emitted window"
+    merged = s.merge(first, on=["source", "epoch_s"], suffixes=("", "_old"))
+    assert len(merged) == len(first)
+    for c in ("w_sum", "dur_us_total", "n_samples"):
+        assert (merged[c] == merged[f"{c}_old"]).all(), c
+
+    got = s.sort_values(["source", "epoch_s"]).reset_index(drop=True)
+    batch = (
+        time_weighted_avg(
+            spark.createDataFrame(pdf), "val", keys=("source",),
+            ts_us_col="ts_us", order_cols=("ord",), tier_s=TIER_S,
+        ).toPandas().sort_values(["source", "epoch_s"]).reset_index(drop=True)
+    )
+    assert len(got) == len(batch)
+    for c in ("source", "epoch_s", "w_sum", "dur_us_total", "n_samples"):
+        assert got[c].tolist() == batch[c].tolist(), c
