@@ -279,6 +279,7 @@ BENCH_QUERIES = [
     "state_durations_1h",
     "ohlc_1h",
     "heartbeat_coverage_1h",
+    "cms_user_freq",
     "interferogram",
     "mean_lag_coherence",
     "kappa_grid",

@@ -3026,6 +3026,75 @@ def time_weighted_avg_1h(spark, sf_dir):
     )
 
 
+def _cms_oracle() -> str:
+    """DuckDB replay of the Count-Min pipeline: the d=4 row hashes are the
+    dialect-specific md5 lift of the SAME 'j:<key>' strings the Spark side
+    hashes (operators/sketches.cms_bucket_sql is shared; only the hex→int
+    cast differs per the repo's standard recipe), the matrix/cascade are
+    integer counts, and the estimate is min over the 4 rows with absent
+    cells counting 0."""
+    from .operators.sketches import CMS_D, CMS_W
+
+    def leg(j: int, src: str) -> str:
+        h = f"('0x' || substr(md5('{j}:' || CAST(k AS VARCHAR)), 1, 10))::BIGINT"
+        return f"SELECT *, {j} AS j, (({h}) & {CMS_W - 1})::INT AS bucket FROM {src}"
+
+    keyed = "\nUNION ALL\n".join(leg(j, "base") for j in range(CMS_D))
+    pb = "\nUNION ALL\n".join(leg(j, "probes") for j in range(CMS_D))
+    return f"""
+    WITH base AS (
+      SELECT epoch(date_trunc('day', ts))::BIGINT AS day_s,
+             epoch(date_trunc('hour', ts))::BIGINT AS hour_s,
+             CAST(user_id AS BIGINT) AS k
+      FROM events),
+    keyed AS ({keyed}),
+    hourly AS (SELECT day_s, hour_s, j, bucket, count(*) AS cnt
+               FROM keyed GROUP BY 1, 2, 3, 4),
+    daily_c AS (SELECT day_s, j, bucket, sum(cnt)::BIGINT AS cnt
+                FROM hourly GROUP BY 1, 2, 3),
+    daily_d AS (SELECT day_s, j, bucket, count(*)::BIGINT AS cnt
+                FROM keyed GROUP BY 1, 2, 3),
+    probes AS (SELECT DISTINCT CAST(user_id AS BIGINT) AS k FROM events
+               WHERE CAST(user_id AS BIGINT) % 59 = 0),
+    pb AS ({pb}),
+    days AS (SELECT DISTINCT day_s FROM base),
+    grid AS (SELECT d.day_s, p.k, p.j, p.bucket FROM days d CROSS JOIN pb p),
+    est_d AS (SELECT g.day_s, g.k, min(coalesce(m.cnt, 0))::BIGINT AS est_direct
+              FROM grid g LEFT JOIN daily_d m
+                ON g.day_s = m.day_s AND g.j = m.j AND g.bucket = m.bucket
+              GROUP BY 1, 2),
+    est_c AS (SELECT g.day_s, g.k, min(coalesce(m.cnt, 0))::BIGINT AS est_cascade
+              FROM grid g LEFT JOIN daily_c m
+                ON g.day_s = m.day_s AND g.j = m.j AND g.bucket = m.bucket
+              GROUP BY 1, 2),
+    exact AS (SELECT d.day_s, p.k, coalesce(c.n, 0)::BIGINT AS n_exact
+              FROM days d CROSS JOIN probes p
+              LEFT JOIN (SELECT day_s, k, count(*) AS n FROM base GROUP BY 1, 2) c
+                ON d.day_s = c.day_s AND p.k = c.k)
+    SELECT e.day_s, e.k, e.n_exact, d.est_direct, c.est_cascade
+    FROM exact e
+    JOIN est_d d ON e.day_s = d.day_s AND e.k = d.k
+    JOIN est_c c ON e.day_s = c.day_s AND e.k = c.k
+    """
+
+
+@register("cms_user_freq", _cms_oracle())
+def cms_user_freq(spark, sf_dir):
+    """Count-Min frequency sketch tier (Cormode & Muthukrishnan 2005,
+    public semantics) — the third mergeable sketch next to HLL and HDR:
+    a d=4 × w=256 counter matrix per day whose merge is elementwise SUM
+    (rides the hourly→daily cascade unchanged; both legs emitted so the
+    driver hash pins the cascade), point estimates = min over the d rows
+    for a deterministic probe-key set, next to the exact counts so the
+    one-sided guarantee (est ≥ exact, always) is verified per row. Unlike
+    Misra-Gries, CMS is order-independent given its hashes — md5-lifted
+    here, so the WHOLE sketch replays bit-for-bit in DuckDB
+    (operators/sketches.py cms_daily_estimates)."""
+    from .operators.sketches import cms_daily_estimates
+
+    return cms_daily_estimates(_read(spark, sf_dir, "events"), key="user_id")
+
+
 # liveness interval: a beat asserts 15 minutes of uptime
 _HB_INTERVAL_US = 900 * 1_000_000
 
@@ -3328,6 +3397,7 @@ _SUITE_ROWEXPR_4 = {
         for i in range(8)
     ) + ")",
     "session_attribution": "event_id + user_id + ts_s + session_start",
+    "near_dup_cosine": "id_a + id_b + (case when same_label then 1 else 0 end)",
 }
 
 
@@ -3362,7 +3432,7 @@ def _suite_df(spark, sf_dir, rowexprs: dict[str, str]) -> DataFrame:
 
 @register("demoted_suite_4", _suite_oracle(_SUITE_ROWEXPR_4))
 def demoted_suite_4(spark, sf_dir):
-    """Suite checksum over the 21 entries rotated out in round 8 (see
+    """Suite checksum over the 22 entries rotated out in round 8 (see
     _SUITE_ROWEXPR_4) — each banked a direct green driver row in r7.
     sessionize/kappa_grid rotated late-r8 for the sketch-cascade entries
     (SURVEY rows keep in-cap siblings: lc_window_stats; topk_per_group +
@@ -3375,7 +3445,9 @@ def demoted_suite_4(spark, sf_dir):
     sliding_avg/collect_epochs/session_attribution rotated in wave 3 for
     state_durations_1h + ohlc_1h + heartbeat_coverage_1h (W5 keeps
     trend_slope/rollup smoothing siblings, O5 keeps topk_per_group, the
-    range-join family keeps asof_join).
+    range-join family keeps asof_join); near_dup_cosine rotated in wave 4
+    for cms_user_freq (the near-dup family keeps jaccard_verified + simhash
+    in-cap).
     (`demoted_suite` and `demoted_suite_2`, the r6/r7 carriers, were
     retired in rounds 7/8 respectively: every member promoted back inside
     the cap for direct rows.)"""
@@ -3445,6 +3517,7 @@ DRIVER_PRIORITY = [
     "state_durations_1h",
     "ohlc_1h",
     "heartbeat_coverage_1h",
+    "cms_user_freq",
     # checksum carriers: fresh per-entry evidence for 26 demoted siblings
     "demoted_suite_3",   # the r6 graduates still past the cap (green r6)
     "demoted_suite_4",   # the 13 entries rotated out this round (green r7)
@@ -3517,6 +3590,12 @@ DRIVER_DEMOTED = [
     "sliding_avg",
     "collect_epochs",
     "session_attribution",
+    # late-r8 wave 4: cap room for cms_user_freq (the third mergeable
+    # sketch). The near-dup family keeps jaccard_verified + simhash in-cap
+    # (near_dup_cosine is the declared-quadratic exact verifier baseline;
+    # near_dup_lsh, its scale path, has carried suite-3 checksum evidence
+    # since r7)
+    "near_dup_cosine",
 ]
 
 

@@ -294,3 +294,105 @@ def hll_overlap(
         F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), 4), F.lit(0.0)
     )
     return joined.select(*g, "est_a", "est_b", "est_union", inter.alias("est_intersection"))
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: the third classic mergeable sketch (frequency/heavy-
+# hitter estimation) next to HLL (distinct) and HDR (quantiles). Cormode &
+# Muthukrishnan 2005, public semantics. d×w counter matrix; merge =
+# elementwise SUM (associative → rides the tier cascade unchanged); point
+# estimate = min over the d rows. Unlike Misra-Gries/SpaceSaving, CMS is
+# ORDER-INDEPENDENT given its hash functions, so with the repo's md5→int
+# hash lift the whole sketch — matrix, cascade, estimates — replays
+# bit-for-bit in the DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+CMS_D = 4
+CMS_W = 256
+
+
+def cms_bucket_sql(h: str) -> str:
+    """Bucket from a 40-bit integer hash expression (dialect-shared)."""
+    return f"(({h}) & {CMS_W - 1})"
+
+
+def _spark_hash40_salted(j: int, col: str) -> str:
+    """Row-j hash: md5 of 'j:<key>' — d independent functions from one md5."""
+    return (
+        f"CAST(conv(substr(md5(concat('{j}:', CAST({col} AS STRING))), 1, 10), 16, 10) AS BIGINT)"
+    )
+
+
+def cms_bucket_py(j: int, key: int) -> int:
+    """Pure-Python mirror of the row-j bucket (property-test oracle)."""
+    import hashlib
+
+    h = int(hashlib.md5(f"{j}:{key}".encode()).hexdigest()[:10], 16)
+    return h & (CMS_W - 1)
+
+
+def cms_daily_estimates(
+    events: DataFrame, key: str = "user_id", probe_mod: int = 59
+) -> DataFrame:
+    """Per-day CMS frequency estimates for a deterministic probe set,
+    computed from BOTH the direct daily matrix and the hourly→daily
+    SUM-cascaded one (equal by associativity; both emitted so the driver
+    hash pins the cascade implementation). Probes = the distinct keys with
+    key % probe_mod == 0; absent (day, j, bucket) cells count 0 (nothing
+    hashed there), so est is the true min over all d rows. The CMS
+    one-sided guarantee — est ≥ exact, always — is visible per row next to
+    the exact count.
+
+    Scale shape: raw→matrix is one map-side-combinable shuffle keyed
+    (day, hour, j, bucket) over d× the input rows; the cascade and the
+    estimator touch only matrix rows (≤ days × d × w) and the tiny probe
+    grid — at 10^12 rows the frequency answer costs d broadcast lookups
+    per probe instead of a full groupBy over every key.
+    """
+    legs = ", ".join(
+        f"{j}, CAST({cms_bucket_sql(_spark_hash40_salted(j, 'k'))} AS INT)"
+        for j in range(CMS_D)
+    )
+    base = events.selectExpr(
+        "unix_timestamp(date_trunc('day', ts)) AS day_s",
+        "unix_timestamp(date_trunc('hour', ts)) AS hour_s",
+        f"CAST({key} AS BIGINT) AS k",
+    )
+    keyed = base.selectExpr("day_s", "hour_s", f"stack({CMS_D}, {legs}) AS (j, bucket)")
+    hourly = keyed.groupBy("day_s", "hour_s", "j", "bucket").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    daily_cascade = hourly.groupBy("day_s", "j", "bucket").agg(F.sum("cnt").alias("cnt"))
+    daily_direct = keyed.groupBy("day_s", "j", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+
+    probes = (
+        base.select("k").where(F.col("k") % probe_mod == 0).distinct()
+    )
+    probe_legs = ", ".join(
+        f"{j}, CAST({cms_bucket_sql(_spark_hash40_salted(j, 'k'))} AS INT)"
+        for j in range(CMS_D)
+    )
+    probe_buckets = probes.selectExpr("k", f"stack({CMS_D}, {probe_legs}) AS (j, bucket)")
+    days = base.select("day_s").distinct()
+    grid = days.crossJoin(F.broadcast(probe_buckets))
+
+    def estimate(matrix: DataFrame, out: str) -> DataFrame:
+        cell = grid.join(matrix, ["day_s", "j", "bucket"], "left").select(
+            "day_s", "k", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
+        )
+        return cell.groupBy("day_s", "k").agg(F.min("cnt").cast("long").alias(out))
+
+    exact = (
+        days.crossJoin(F.broadcast(probes))
+        .join(
+            base.groupBy("day_s", "k").agg(F.count(F.lit(1)).alias("n")),
+            ["day_s", "k"],
+            "left",
+        )
+        .select("day_s", "k", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_exact"))
+    )
+    return (
+        exact.join(estimate(daily_direct, "est_direct"), ["day_s", "k"])
+        .join(estimate(daily_cascade, "est_cascade"), ["day_s", "k"])
+        .select("day_s", "k", "n_exact", "est_direct", "est_cascade")
+    )

@@ -440,3 +440,79 @@ def test_hll_union_and_overlap_estimates(spark):
     # but it must land in the right order of magnitude and below min(a, b)
     assert 200 < out["est_intersection"] < 2500
     assert out["est_intersection"] <= min(out["est_a"], out["est_b"]) + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (round 8, wave 4)
+# ---------------------------------------------------------------------------
+
+
+def test_cms_bucket_sql_matches_python_mirror(spark):
+    """The row-j bucket fragment must replay the hashlib mirror exactly on
+    random 52-bit keys (same recipe as the HLL/HDR fragment pins)."""
+    import numpy as np
+    import pandas as pd
+
+    from covsar_spark.operators.sketches import (
+        CMS_D,
+        cms_bucket_py,
+        cms_bucket_sql,
+        _spark_hash40_salted,
+    )
+
+    rng = np.random.default_rng(3)
+    keys = [int(v) for v in rng.integers(1, 2**52, size=200)]
+    df = spark.createDataFrame(pd.DataFrame({"k": keys}))
+    for j in range(CMS_D):
+        got = (
+            df.selectExpr("k", f"CAST({cms_bucket_sql(_spark_hash40_salted(j, 'k'))} AS INT) AS b")
+            .orderBy("k")
+            .toPandas()
+        )
+        want = [cms_bucket_py(j, k) for k in sorted(keys)]
+        assert got["b"].tolist() == want, f"row {j}"
+
+
+def test_cms_estimates_one_sided_and_cascade_equal(spark):
+    """CMS guarantees est ≥ exact ALWAYS; the hourly→daily SUM cascade must
+    equal the direct daily build bit-for-bit; and per (day, j) the matrix
+    conserves mass (Σ buckets == rows that day)."""
+    import pandas as pd
+
+    from covsar_spark.operators.sketches import CMS_D, cms_daily_estimates
+
+    df, pdf = _events(spark, n_days=3, per_day=800, seed=5)
+    got = cms_daily_estimates(df, key="user_id", probe_mod=7).toPandas()
+    assert len(got) > 20
+    assert (got.est_direct == got.est_cascade).all()
+    assert (got.est_direct >= got.n_exact).all()
+    # probes with activity estimate within the CMS envelope on this density
+    act = got[got.n_exact > 0]
+    assert len(act) > 10
+    # exactness sanity: estimates are counts from the probe's own buckets,
+    # never below truth and bounded by the day's total rows
+    day_tot = pdf.assign(day=pdf.ts.dt.floor("D")).groupby("day").size()
+    assert got.est_direct.max() <= day_tot.max()
+
+
+def test_cms_mass_conservation(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from covsar_spark.operators.sketches import CMS_D, cms_bucket_sql, _spark_hash40_salted
+
+    df, pdf = _events(spark, n_days=2, per_day=500, seed=9)
+    legs = ", ".join(
+        f"{j}, CAST({cms_bucket_sql(_spark_hash40_salted(j, 'k'))} AS INT)"
+        for j in range(CMS_D)
+    )
+    keyed = df.selectExpr(
+        "unix_timestamp(date_trunc('day', ts)) AS day_s",
+        "CAST(user_id AS BIGINT) AS k",
+    ).selectExpr("day_s", f"stack({CMS_D}, {legs}) AS (j, bucket)")
+    per_row = (
+        keyed.groupBy("day_s", "j").agg(F.count(F.lit(1)).alias("n")).toPandas()
+    )
+    day_tot = pdf.assign(day=pdf.ts.dt.floor("D")).groupby("day").size().tolist()
+    for _, r in per_row.iterrows():
+        assert r.n in day_tot  # every (day, row) holds exactly the day's rows
