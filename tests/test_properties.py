@@ -340,3 +340,75 @@ def test_hdr_bucket_monotone_property(v):
     from covsar_spark.operators.sketches import hdr_index_py
 
     assert hdr_index_py(v) <= hdr_index_py(v + 1)
+
+
+# --- LTTB kernel invariants (round 8) ---------------------------------------
+
+_series = st.lists(
+    st.tuples(st.integers(min_value=1, max_value=500),
+              st.integers(min_value=-10_000, max_value=10_000)),
+    min_size=4, max_size=300,
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_series, st.integers(min_value=3, max_value=60))
+def test_lttb_structural_invariants(pairs, n_out):
+    """For ANY integer series: the pick set keeps both endpoints, is
+    strictly increasing (a subset in x-order), and has exactly
+    min(n, n_out) members (all of them when no downsampling happens)."""
+    from covsar_spark.operators.downsample import lttb_indices
+
+    gaps, ys = zip(*pairs)
+    x = np.cumsum(np.asarray(gaps, dtype=np.int64)) + 1_700_000_000
+    y = np.asarray(ys, dtype=np.int64)
+    idx = lttb_indices(x, y, n_out)
+    assert idx[0] == 0 and idx[-1] == len(x) - 1
+    assert (np.diff(idx) > 0).all()
+    assert len(idx) == (len(x) if n_out >= len(x) or n_out < 3 else n_out)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_series, st.integers(min_value=3, max_value=40),
+       st.integers(min_value=-2**40, max_value=2**40),
+       st.integers(min_value=-2**20, max_value=2**20))
+def test_lttb_translation_invariance_any_shift(pairs, n_out, dx, dy):
+    """Triangle areas are translation-invariant, and the integer path
+    shifts by the first sample internally — picks must not move under ANY
+    (x, y) translation (the float path can't promise this; the exact
+    integer path must)."""
+    from covsar_spark.operators.downsample import lttb_indices
+
+    gaps, ys = zip(*pairs)
+    x = np.cumsum(np.asarray(gaps, dtype=np.int64))
+    y = np.asarray(ys, dtype=np.int64)
+    base = lttb_indices(x, y, n_out)
+    shifted = lttb_indices(x + np.int64(dx), y + np.int64(dy), n_out)
+    assert list(base) == list(shifted)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_series)
+def test_heartbeat_sweep_is_interval_union_measure(pairs):
+    """The ordered min(interval, gap) sweep == the measure of the union of
+    [t, t+interval) segments clipped at the span end, for any beat train
+    and a random-ish interval derived from the data."""
+    gaps, _ = zip(*pairs)
+    ts = np.cumsum(np.asarray(gaps, dtype=np.int64))
+    interval = int(max(1, (ts[-1] - ts[0]) // max(len(ts) - 1, 1)))
+    end = int(ts[-1]) + interval  # open span end beyond the last beat
+    # sweep form (the operator's math, with window end := end)
+    nxt = np.concatenate((ts[1:], [end]))
+    swept = int(np.minimum(interval, nxt - ts).sum())
+    # explicit merged-interval measure
+    covered, lo, hi = 0, None, None
+    for t in ts.tolist():
+        a, b = t, min(t + interval, end)
+        if hi is None or a > hi:
+            if hi is not None:
+                covered += hi - lo
+            lo, hi = a, b
+        else:
+            hi = max(hi, b)
+    covered += hi - lo
+    assert swept == covered
