@@ -281,3 +281,89 @@ def heartbeat_coverage(
             (F.col("covered_us") / F.lit(float(tier_us))).alias("uptime_frac"),
         )
     )
+
+
+def ohlc_with_bounds(
+    df: DataFrame,
+    value_col: str,
+    keys: Sequence[str] = ("source",),
+    ts_col: str = "epoch_s",
+    order_cols: Sequence[str] = (),
+    tier_s: int = 3600,
+) -> DataFrame:
+    """``ohlc`` plus the (first_ts, first_ord, last_ts, last_ord) bounds
+    that make the tier MERGEABLE: open/close of a merged window are the
+    open of the earliest sub-window and the close of the latest (ties on
+    ts broken by the carried order column), high/low are max/min — so the
+    candlestick tier cascades 1m→1h→1d exactly like the sum rollups
+    (pinned by tests/test_counters.py cascade==direct)."""
+    win = (F.floor(F.col(ts_col) / tier_s) * tier_s).cast("long")
+    ocol = list(order_cols)
+    base = df.select(
+        *keys,
+        win.alias("_win"),
+        F.col(ts_col).alias("_ts"),
+        F.col(value_col).alias("_v"),
+        *ocol,
+    )
+    asc = Window.partitionBy(*keys, "_win").orderBy("_ts", *ocol)
+    dsc = Window.partitionBy(*keys, "_win").orderBy(
+        F.col("_ts").desc(), *[F.col(c).desc() for c in ocol]
+    )
+    ordc = F.col(ocol[0]) if ocol else F.lit(0)
+    return (
+        base.withColumn("_ra", F.row_number().over(asc))
+        .withColumn("_rd", F.row_number().over(dsc))
+        .groupBy(*keys, "_win")
+        .agg(
+            F.max(F.when(F.col("_ra") == 1, F.col("_v"))).alias("open"),
+            F.max("_v").alias("high"),
+            F.min("_v").alias("low"),
+            F.max(F.when(F.col("_rd") == 1, F.col("_v"))).alias("close"),
+            F.count(F.lit(1)).alias("n_samples"),
+            F.min(F.struct("_ts", ordc.alias("_o"))).alias("_first"),
+            F.max(F.struct("_ts", ordc.alias("_o"))).alias("_last"),
+        )
+        .select(
+            *keys,
+            F.col("_win").alias("epoch_s"),
+            "open", "high", "low", "close", "n_samples",
+            F.col("_first._ts").alias("first_ts"),
+            F.col("_first._o").alias("first_ord"),
+            F.col("_last._ts").alias("last_ts"),
+            F.col("_last._o").alias("last_ord"),
+        )
+    )
+
+
+def ohlc_merge(
+    tier: DataFrame, keys: Sequence[str] = ("source",), tier_s: int = 86400
+) -> DataFrame:
+    """Cascade a bounded OHLC tier (``ohlc_with_bounds`` output) to a
+    coarser tier by pure aggregation over the TINY fine-tier table: open =
+    min_by over (first_ts, first_ord), close = max_by over (last_ts,
+    last_ord), high/low/n by max/min/sum — no raw re-scan, the A7 cascade
+    property extended to candlesticks."""
+    win = (F.floor(F.col("epoch_s") / tier_s) * tier_s).cast("long")
+    return (
+        tier.withColumn("_cw", win)
+        .groupBy(*keys, "_cw")
+        .agg(
+            F.min_by("open", F.struct("first_ts", "first_ord")).alias("open"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.max_by("close", F.struct("last_ts", "last_ord")).alias("close"),
+            F.sum("n_samples").cast("long").alias("n_samples"),
+            F.min(F.struct("first_ts", "first_ord")).alias("_f"),
+            F.max(F.struct("last_ts", "last_ord")).alias("_l"),
+        )
+        .select(
+            *keys,
+            F.col("_cw").alias("epoch_s"),
+            "open", "high", "low", "close", "n_samples",
+            F.col("_f.first_ts").alias("first_ts"),
+            F.col("_f.first_ord").alias("first_ord"),
+            F.col("_l.last_ts").alias("last_ts"),
+            F.col("_l.last_ord").alias("last_ord"),
+        )
+    )

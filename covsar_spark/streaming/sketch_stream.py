@@ -85,3 +85,63 @@ def run_hll_register_stream(
     q.processAllAvailable()
     q.stop()
     return tier_path
+
+
+def streaming_cms_matrix(
+    events_stream: DataFrame,
+    key: str = "user_id",
+    tier: str = "1h",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Watermarked tumbling-window Count-Min matrix aggregation (append-
+    mode finalization): one row per (window, j, bucket) with the cell
+    count. SUM-mergeable downstream exactly like the batch cascade
+    (operators/sketches.cms_daily_estimates) — the streamed tier holds
+    ≤ d·w rows per finalized window regardless of raw volume."""
+    from ..operators.sketches import CMS_D, cms_bucket_sql, _spark_hash40_salted
+
+    legs = ", ".join(
+        f"{j}, CAST({cms_bucket_sql(_spark_hash40_salted(j, key))} AS INT)"
+        for j in range(CMS_D)
+    )
+    keyed = events_stream.selectExpr("ts", f"stack({CMS_D}, {legs}) AS (j, bucket)")
+    agg = (
+        keyed.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", _DUR[tier]).alias("win"), "j", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return agg.select(
+        F.unix_timestamp(F.col("win.start")).alias("epoch_s"), "j", "bucket", "cnt"
+    )
+
+
+def run_cms_matrix_stream(
+    spark: SparkSession,
+    events_path: str,
+    out_dir: str,
+    key: str = "user_id",
+    tier: str = "1h",
+    watermark: str = "10 minutes",
+    checkpoint: str | None = None,
+) -> str:
+    """Drive the CMS matrix stream over a (possibly grown) static dir to
+    completion and return the tier path — same exactly-once file-sink
+    contract as run_hll_register_stream."""
+    schema = spark.read.parquet(events_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_path)
+    )
+    tier_path = f"{out_dir}/cms_matrix_{tier}"
+    q = (
+        streaming_cms_matrix(stream, key=key, tier=tier, watermark=watermark)
+        .writeStream.outputMode("append")
+        .format("parquet")
+        .option("path", tier_path)
+        .option("checkpointLocation", checkpoint or f"{out_dir}/_cms_checkpoint")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    return tier_path

@@ -328,3 +328,41 @@ def test_heartbeat_coverage_hand_case(spark):
     assert got.covered_us.tolist() == [75 * us]
     assert got.gaps.tolist() == [2]  # 5→100 and 100→3590
     assert got.n_beats.tolist() == [4]
+
+
+def test_ohlc_cascade_equals_direct(spark, gauge_states):
+    """Candlestick tiers cascade: merging the hourly bounded-OHLC tier to
+    daily equals the direct daily build exactly — merge is min_by/max_by
+    on the carried (ts, ord) bounds, never a raw re-scan."""
+    from covsar_spark.operators.counters import ohlc_merge, ohlc_with_bounds
+
+    sdf, pdf = gauge_states
+    pts = sdf.selectExpr("source", "CAST(ts_us / 1000000 AS BIGINT) AS epoch_s", "val", "ord")
+    hourly = ohlc_with_bounds(pts, "val", keys=("source",), ts_col="epoch_s",
+                              order_cols=("ord",), tier_s=TIER)
+    daily_direct = (
+        ohlc_with_bounds(pts, "val", keys=("source",), ts_col="epoch_s",
+                         order_cols=("ord",), tier_s=24 * TIER)
+        .toPandas().sort_values(["source", "epoch_s"]).reset_index(drop=True)
+    )
+    daily_cascaded = (
+        ohlc_merge(hourly, keys=("source",), tier_s=24 * TIER)
+        .toPandas().sort_values(["source", "epoch_s"]).reset_index(drop=True)
+    )
+    assert len(daily_direct) == len(daily_cascaded) > 0
+    for c in ("source", "epoch_s", "open", "high", "low", "close", "n_samples",
+              "first_ts", "first_ord", "last_ts", "last_ord"):
+        assert daily_direct[c].tolist() == daily_cascaded[c].tolist(), c
+
+
+def test_ohlc_with_bounds_agrees_with_ohlc(spark, gauge_states):
+    from covsar_spark.operators.counters import ohlc, ohlc_with_bounds
+
+    sdf, _ = gauge_states
+    pts = sdf.selectExpr("source", "CAST(ts_us / 1000000 AS BIGINT) AS epoch_s", "val", "ord")
+    a = (ohlc(pts, "val", keys=("source",), ts_col="epoch_s", order_cols=("ord",), tier_s=TIER)
+         .toPandas().sort_values(["source", "epoch_s"]).reset_index(drop=True))
+    b = (ohlc_with_bounds(pts, "val", keys=("source",), ts_col="epoch_s", order_cols=("ord",), tier_s=TIER)
+         .toPandas().sort_values(["source", "epoch_s"]).reset_index(drop=True))
+    for c in ("source", "epoch_s", "open", "high", "low", "close", "n_samples"):
+        assert a[c].tolist() == b[c].tolist(), c

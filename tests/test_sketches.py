@@ -516,3 +516,41 @@ def test_cms_mass_conservation(spark):
     day_tot = pdf.assign(day=pdf.ts.dt.floor("D")).groupby("day").size().tolist()
     for _, r in per_row.iterrows():
         assert r.n in day_tot  # every (day, row) holds exactly the day's rows
+
+
+def test_cms_matrix_stream_matches_batch(spark, tmp_path):
+    """Streamed CMS matrix == batch hourly matrix for every finalized
+    window (append-mode watermark semantics; flush row pushes the
+    watermark past every real window, its own far-future window never
+    finalizes)."""
+    from pyspark.sql import functions as F
+
+    from covsar_spark.operators.sketches import CMS_D, cms_bucket_sql, _spark_hash40_salted
+    from covsar_spark.streaming.sketch_stream import run_cms_matrix_stream
+
+    df, pdf = _events(spark, n_days=2, per_day=600, seed=13)
+    flush = spark.createDataFrame(
+        pd.DataFrame({"ts": [pdf.ts.max() + pd.Timedelta(days=30)],
+                      "user_id": [999_999_999]})
+    )
+    src = str(tmp_path / "ev")
+    df.select("ts", "user_id").unionByName(flush).orderBy("ts").coalesce(1).write.parquet(src)
+
+    tier = run_cms_matrix_stream(spark, src, str(tmp_path / "tiers"), watermark="1 minute")
+    got = (
+        spark.read.parquet(tier).toPandas()
+        .sort_values(["epoch_s", "j", "bucket"]).reset_index(drop=True)
+    )
+    legs = ", ".join(
+        f"{j}, CAST({cms_bucket_sql(_spark_hash40_salted(j, 'user_id'))} AS INT)"
+        for j in range(CMS_D)
+    )
+    batch = (
+        df.selectExpr("unix_timestamp(date_trunc('hour', ts)) AS epoch_s",
+                      f"stack({CMS_D}, {legs}) AS (j, bucket)")
+        .groupBy("epoch_s", "j", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+        .toPandas().sort_values(["epoch_s", "j", "bucket"]).reset_index(drop=True)
+    )
+    assert len(got) == len(batch) > 0
+    for c in ("epoch_s", "j", "bucket", "cnt"):
+        assert got[c].tolist() == batch[c].tolist(), c
