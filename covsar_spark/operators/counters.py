@@ -195,9 +195,11 @@ def ohlc(
     """Open/high/low/close candlestick rollup per tumbling window
     (TimescaleDB ``ohlc()``/``candlestick_agg``, public semantics): open =
     the window's first value in (ts, order) order, close = its last, high/
-    low = max/min. First/last come from two row_number() passes over the
-    SAME (keys, window) partitioning the aggregation groups on, so the
-    operator is one shuffle end to end; ties are broken by ``order_cols``
+    low = max/min. First/last are ``min_by``/``max_by`` over the (ts,
+    order) struct — declarative aggregates, so the WHOLE operator is one
+    partial-aggregable groupBy: map-side combine, one exchange, and NO
+    per-partition sort (the original row_number() form paid one; the
+    plan test pins sortlessness). Ties are broken by ``order_cols``
     making the result replayable."""
     win = (F.floor(F.col(ts_col) / tier_s) * tier_s).cast("long")
     base = df.select(
@@ -207,19 +209,14 @@ def ohlc(
         F.col(value_col).alias("_v"),
         *order_cols,
     )
-    asc = Window.partitionBy(*keys, "_win").orderBy("_ts", *order_cols)
-    dsc = Window.partitionBy(*keys, "_win").orderBy(
-        F.col("_ts").desc(), *[F.col(c).desc() for c in order_cols]
-    )
+    pos = F.struct("_ts", *[F.col(c) for c in order_cols])
     return (
-        base.withColumn("_ra", F.row_number().over(asc))
-        .withColumn("_rd", F.row_number().over(dsc))
-        .groupBy(*keys, "_win")
+        base.groupBy(*keys, "_win")
         .agg(
-            F.max(F.when(F.col("_ra") == 1, F.col("_v"))).alias("open"),
+            F.min_by("_v", pos).alias("open"),
             F.max("_v").alias("high"),
             F.min("_v").alias("low"),
-            F.max(F.when(F.col("_rd") == 1, F.col("_v"))).alias("close"),
+            F.max_by("_v", pos).alias("close"),
             F.count(F.lit(1)).alias("n_samples"),
         )
         .withColumnRenamed("_win", "epoch_s")
@@ -296,7 +293,8 @@ def ohlc_with_bounds(
     open of the earliest sub-window and the close of the latest (ties on
     ts broken by the carried order column), high/low are max/min — so the
     candlestick tier cascades 1m→1h→1d exactly like the sum rollups
-    (pinned by tests/test_counters.py cascade==direct)."""
+    (pinned by tests/test_counters.py cascade==direct). Same sortless
+    single-aggregation shape as ``ohlc``."""
     win = (F.floor(F.col(ts_col) / tier_s) * tier_s).cast("long")
     ocol = list(order_cols)
     base = df.select(
@@ -306,23 +304,18 @@ def ohlc_with_bounds(
         F.col(value_col).alias("_v"),
         *ocol,
     )
-    asc = Window.partitionBy(*keys, "_win").orderBy("_ts", *ocol)
-    dsc = Window.partitionBy(*keys, "_win").orderBy(
-        F.col("_ts").desc(), *[F.col(c).desc() for c in ocol]
-    )
     ordc = F.col(ocol[0]) if ocol else F.lit(0)
+    pos = F.struct("_ts", ordc.alias("_o"))
     return (
-        base.withColumn("_ra", F.row_number().over(asc))
-        .withColumn("_rd", F.row_number().over(dsc))
-        .groupBy(*keys, "_win")
+        base.groupBy(*keys, "_win")
         .agg(
-            F.max(F.when(F.col("_ra") == 1, F.col("_v"))).alias("open"),
+            F.min_by("_v", pos).alias("open"),
             F.max("_v").alias("high"),
             F.min("_v").alias("low"),
-            F.max(F.when(F.col("_rd") == 1, F.col("_v"))).alias("close"),
+            F.max_by("_v", pos).alias("close"),
             F.count(F.lit(1)).alias("n_samples"),
-            F.min(F.struct("_ts", ordc.alias("_o"))).alias("_first"),
-            F.max(F.struct("_ts", ordc.alias("_o"))).alias("_last"),
+            F.min(pos).alias("_first"),
+            F.max(pos).alias("_last"),
         )
         .select(
             *keys,

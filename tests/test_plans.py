@@ -475,14 +475,23 @@ def test_state_durations_single_exchange(spark):
     assert "Python" not in plan
 
 
-def test_ohlc_single_exchange(spark):
-    """Candlestick rollup: both row_number() passes and the aggregation
-    share the (source, window) partitioning — one shuffle end to end."""
+def test_ohlc_partial_agg_before_exchange(spark):
+    """Candlestick rollup: min_by/max_by over the (ts, ord) struct makes
+    the whole operator ONE groupBy with MAP-SIDE partial aggregation — the
+    exchange carries per-(source, window) partials, not raw rows. The
+    row_number() form this replaced shuffled EVERY raw row to feed the
+    window operator and sorted by (source, win, ts, ord); the struct-buffer
+    SortAggregate here sorts on the two group keys only, after the row
+    count has already collapsed."""
     from covsar_spark.contract import QUERIES
 
     plan = _plan(QUERIES["ohlc_1h"](spark, "/root/testdata/sf0.001"))
     assert plan.count("Exchange") == 1, plan
     assert "Python" not in plan
+    assert "Window" not in plan, "regressed to the window-function form"
+    # the partial min_by must appear BELOW the exchange (map side)
+    pre_exchange = plan.split("Exchange")[-1]
+    assert "partial_min_by" in pre_exchange, plan
 
 
 def test_heartbeat_coverage_single_exchange(spark):
