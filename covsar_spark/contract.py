@@ -1737,7 +1737,12 @@ def _tokens(spark, sf_dir) -> DataFrame:
     return docs.select(
         F.concat(F.lit("doc-"), F.lpad(F.col("doc_id").cast("string"), 12, "0")).alias("doc_id"),
         toks.alias("tokens"),
-        F.size(toks).cast("int").alias("n_tok"),
+        # size of the UNhashed word array — transform preserves length, and
+        # sizing the hashed expression would re-evaluate ~100 interpreted
+        # md5 lambdas per doc a second time (same fix as
+        # __spark_entry__._tokens_from_documents; guide §4.1 — higher-order
+        # lambdas are interpreted and invisible to subexpression elimination)
+        F.size(words_col()).cast("int").alias("n_tok"),
         "source",
     )
 

@@ -181,8 +181,18 @@ def ranked_span_epochs(
         .filter(F.col("idx") < max_epochs)
         .select("source", "span_s", "idx", F.col("token_count").alias("v"))
     )
-    cnt = d.groupBy("source", "span_s").agg(F.count(F.lit(1)).alias("n"))
-    return d.join(cnt, ["source", "span_s"])
+    # kept-epochs count as a second window over the SAME partitioning, not a
+    # groupBy + self-join: the count reuses the row_number exchange (one
+    # unsorted whole-partition frame, no extra sort) where the join form
+    # re-executed the whole upstream rollup subtree a second time (r9;
+    # guide §2.4 — closure_invert's plan re-scanned the source 40x through
+    # this helper). Values identical: count over the filtered partition ==
+    # the joined per-(source, span) count, and consumers that ignore `n`
+    # (full_triplets) get it pruned by Catalyst.
+    wn = W.partitionBy("source", "span_s")
+    return d.withColumn("n", F.count(F.lit(1)).over(wn)).select(
+        "source", "span_s", "idx", "v", "n"
+    )
 
 
 def span_pairs(roll: DataFrame, span_s: int = 600, max_epochs: int = 10) -> DataFrame:

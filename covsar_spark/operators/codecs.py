@@ -350,6 +350,147 @@ def encode_xor_many(vals_list: list[np.ndarray]) -> list[bytes]:
     return _segmented_pack(fv[keep], fn[keep], fseg[keep], n_segs)
 
 
+def _seg_words(blobs: list[bytes]) -> tuple[np.ndarray, np.ndarray]:
+    """Concatenate per-segment blobs into one big-endian uint64 word buffer
+    (each blob is already byte-aligned by construction) and return
+    (words, per-segment absolute start bit offsets). Padded with two spare
+    words so vectorized 2-word gathers never index past the end."""
+    lens = np.array([len(b) for b in blobs], dtype=np.int64)
+    starts = np.zeros(len(blobs) + 1, dtype=np.int64)
+    np.cumsum(lens, out=starts[1:])
+    buf = b"".join(blobs)
+    pad = (-len(buf)) % 8 + 16
+    words = np.frombuffer(buf + b"\x00" * pad, dtype=">u8").astype(_U64)
+    return words, starts[:-1] * 8
+
+
+def _gather_bits(words: np.ndarray, pos: np.ndarray, nbits) -> np.ndarray:
+    """Read ``nbits`` (scalar or per-element array, each in [1, 64]) starting
+    at absolute bit offsets ``pos`` — the vectorized twin of _BitReader.read
+    (each field spans <= 2 words)."""
+    w = (pos >> 6).astype(np.int64)
+    s = (pos & 63).astype(_U64)
+    cur = words[w]
+    nxt = words[w + 1]
+    win = cur << s
+    m = s > 0
+    if m.any():
+        win[m] |= nxt[m] >> (_U64(64) - s[m])
+    k = np.asarray(nbits, dtype=_U64)
+    return win >> (_U64(64) - k)
+
+
+def decode_xor_many(blobs: list[bytes], ns: np.ndarray) -> np.ndarray:
+    """Vectorized-across-segments Gorilla XOR decode: one numpy pass per
+    POINT INDEX instead of one Python loop iteration per point — segments
+    advance in lockstep, so a batch of B spans of <= L points decodes in L
+    vectorized rounds (the decode twin of encode_xor_many; output
+    bit-identical to decode_xor per blob, pinned in tests/test_codecs.py).
+    Returns the concatenated float64 values (segment i occupies
+    out[offsets[i]:offsets[i]+ns[i]] with offsets = cumsum-exclusive(ns))."""
+    ns = np.asarray(ns, dtype=np.int64)
+    total = int(ns.sum())
+    out = np.empty(total, dtype=_U64)
+    if total == 0:
+        return out.view(np.float64)
+    words, pos0 = _seg_words(blobs)
+    offs = np.zeros(len(ns) + 1, dtype=np.int64)
+    np.cumsum(ns, out=offs[1:])
+    # process segments in descending length order: the active set at round t
+    # is then a PREFIX of the order array (no per-round boolean scan)
+    order = np.argsort(-ns, kind="stable")
+    ns_sorted = ns[order]
+    pos = pos0[order].copy()
+    outp = offs[:-1][order]  # per-segment output cursor
+    live = int((ns_sorted > 0).sum())
+    prev = np.zeros(live, dtype=_U64)
+    prev = _gather_bits(words, pos[:live], 64)
+    out[outp[:live]] = prev
+    pos[:live] += 64
+    t = 1
+    while True:
+        a = int((ns_sorted > t).sum())
+        if a == 0:
+            break
+        ctrl = _gather_bits(words, pos[:a], 1)
+        pos[:a] += 1
+        nz = np.flatnonzero(ctrl == 1)
+        if nz.size:
+            hdr = _gather_bits(words, pos[:a][nz] , 11)
+            lead = (hdr >> _U64(6)).astype(np.int64)
+            mlen = ((hdr & _U64(63)) + _U64(1)).astype(np.int64)
+            mean = _gather_bits(words, pos[:a][nz] + 11, mlen)
+            trail = (64 - lead - mlen).astype(_U64)
+            prev[nz] ^= mean << trail
+            pos[nz] += 11 + mlen
+        out[outp[:a] + t] = prev[:a]
+        t += 1
+    return out.view(np.float64)
+
+
+def decode_dod_many(blobs: list[bytes], ns: np.ndarray) -> np.ndarray:
+    """Vectorized-across-segments delta-of-delta decode (see
+    decode_xor_many for the round structure); returns concatenated int64
+    timestamps, bit-identical to decode_dod per blob."""
+    ns = np.asarray(ns, dtype=np.int64)
+    total = int(ns.sum())
+    out = np.empty(total, dtype=np.int64)
+    if total == 0:
+        return out
+    words, pos0 = _seg_words(blobs)
+    offs = np.zeros(len(ns) + 1, dtype=np.int64)
+    np.cumsum(ns, out=offs[1:])
+    order = np.argsort(-ns, kind="stable")
+    ns_sorted = ns[order]
+    pos = pos0[order].copy()
+    outp = offs[:-1][order]
+    live = int((ns_sorted > 0).sum())
+    last = _gather_bits(words, pos[:live], 64).view(np.int64).copy()
+    out[outp[:live]] = last
+    pos[:live] += 64
+    a1 = int((ns_sorted > 1).sum())
+    d = np.zeros(live, dtype=np.int64)
+    if a1:
+        d[:a1] = _gather_bits(words, pos[:a1], 64).view(np.int64)
+        last[:a1] += d[:a1]
+        out[outp[:a1] + 1] = last[:a1]
+        pos[:a1] += 64
+    t = 2
+    while True:
+        a = int((ns_sorted > t).sum())
+        if a == 0:
+            break
+        # peek 4 control bits (padded buffer makes the over-read safe; only
+        # the bits the control logic selects are ever interpreted)
+        c4 = _gather_bits(words, pos[:a], 4)
+        dod = np.zeros(a, dtype=np.int64)
+        adv = np.empty(a, dtype=np.int64)
+        b0 = (c4 & _U64(0b1000)) == 0
+        adv[b0] = 1
+        m10 = ~b0 & ((c4 & _U64(0b0100)) == 0)
+        if m10.any():
+            dod[m10] = _gather_bits(words, pos[:a][m10] + 2, 7).astype(np.int64) - 63
+            adv[m10] = 9
+        m110 = ~b0 & ~m10 & ((c4 & _U64(0b0010)) == 0)
+        if m110.any():
+            dod[m110] = _gather_bits(words, pos[:a][m110] + 3, 9).astype(np.int64) - 255
+            adv[m110] = 12
+        m1110 = ~b0 & ~m10 & ~m110 & ((c4 & _U64(0b0001)) == 0)
+        if m1110.any():
+            dod[m1110] = _gather_bits(words, pos[:a][m1110] + 4, 12).astype(np.int64) - 2047
+            adv[m1110] = 16
+        m1111 = ~b0 & ~m10 & ~m110 & ~m1110
+        if m1111.any():
+            dod[m1111] = _gather_bits(words, pos[:a][m1111] + 4, 64).view(np.int64)
+            adv[m1111] = 68
+        d[:a] += dod
+        last[:a] += d[:a]
+        out[outp[:a] + t] = last[:a]
+        pos[:a] += adv
+        t += 1
+    return out
+
+
 def encode_dod_many(ts_list: list[np.ndarray]) -> list[bytes]:
     lens = np.array([len(a) for a in ts_list], dtype=np.int64)
     n_segs = len(lens)

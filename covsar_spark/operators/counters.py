@@ -62,26 +62,59 @@ def counter_increase(
     (no prior observation — extrapolation is out of scope, exactness is in).
     Emits per (keys, window): ``increase`` (sum of deltas attributed to the
     window of each sample's own timestamp), ``n_samples``, ``n_resets``.
+
+    Plan shape (r9 rewrite): the lag is WINDOW-LOCAL — partitioned by
+    (keys, window) like the module's other operators — so a series' history
+    never sorts in one task (the old ``partitionBy(keys)`` put a hot
+    series' full 10^12-row history through a single straggler). Each
+    window's first sample gets its delta from a per-(series, window)
+    boundary carry: one lag over the AGGREGATED window-level table (one row
+    per non-empty window) of the previous window's last counter value —
+    sample rows shuffle once on (keys, window); only window-level partials
+    shuffle on (keys). Output-identical to the whole-series form (the
+    window-local lag plus the carried previous-window last value reproduce
+    exactly lag over the full series); oracle unchanged.
     """
-    w = Window.partitionBy(*keys).orderBy(ts_col, *order_cols)
     c = F.col(counter_col)
-    lagc = F.lag(counter_col).over(w)
-    d = c - lagc
-    delta = F.when(lagc.isNull(), F.lit(0)).when(d < 0, c).otherwise(d)
+    base = df.select(
+        *keys,
+        _win(F.col(ts_col), tier_s).alias("epoch_s"),
+        F.col(ts_col).alias("_ts"),
+        c.alias("_c"),
+        *order_cols,
+    )
+    w = Window.partitionBy(*keys, "epoch_s").orderBy("_ts", *order_cols)
+    lagc = F.lag("_c").over(w)
+    d = F.col("_c") - lagc
+    # window-local contributions; the window's FIRST sample (lagc NULL) is
+    # settled below against the previous window's last value
+    delta = F.when(lagc.isNull(), F.lit(0)).when(d < 0, F.col("_c")).otherwise(d)
     reset = F.when(lagc.isNull(), F.lit(0)).when(d < 0, F.lit(1)).otherwise(F.lit(0))
-    return (
-        df.select(
-            *keys,
-            _win(F.col(ts_col), tier_s).alias("epoch_s"),
-            delta.alias("_d"),
-            reset.alias("_r"),
-        )
-        .groupBy(*keys, "epoch_s")
-        .agg(
-            F.sum("_d").cast("long").alias("increase"),
-            F.count(F.lit(1)).alias("n_samples"),
-            F.sum("_r").cast("long").alias("n_resets"),
-        )
+    pos = F.struct("_ts", *[F.col(o) for o in order_cols])
+    # groupBy on the lag's own partition keys -> the exchange is reused
+    # (same shape as time_weighted_avg/state_durations)
+    per_win = base.select(
+        *keys, "epoch_s", delta.alias("_d"), reset.alias("_r"), "_c", pos.alias("_pos")
+    ).groupBy(*keys, "epoch_s").agg(
+        F.sum("_d").cast("long").alias("_inc_loc"),
+        F.count(F.lit(1)).alias("n_samples"),
+        F.sum("_r").cast("long").alias("_res_loc"),
+        F.min_by("_c", F.col("_pos")).alias("_first_c"),
+        F.max_by("_c", F.col("_pos")).alias("_last_c"),
+    )
+    # boundary carry: previous non-empty window's last sample, lagged over
+    # the TINY window-level table (one row per (series, window))
+    ws = Window.partitionBy(*keys).orderBy("epoch_s")
+    prev_last = F.lag("_last_c").over(ws)
+    db = F.col("_first_c") - prev_last
+    first_d = F.when(prev_last.isNull(), F.lit(0)).when(db < 0, F.col("_first_c")).otherwise(db)
+    first_r = F.when(prev_last.isNull(), F.lit(0)).when(db < 0, F.lit(1)).otherwise(F.lit(0))
+    return per_win.select(
+        *keys,
+        "epoch_s",
+        (F.col("_inc_loc") + first_d).cast("long").alias("increase"),
+        "n_samples",
+        (F.col("_res_loc") + first_r).cast("long").alias("n_resets"),
     )
 
 

@@ -338,6 +338,22 @@ def _rolling_hash_expr(w: int, base: int) -> str:
     )
 
 
+def _packed_hash_expr(w: int) -> str:
+    """Both 31-bit polynomial hashes in ONE fold over ONE slice: the packed
+    accumulator acc = h1 * 2^31 + h2 IS the final 62-bit key (SPAN_P + 1 ==
+    2^31), so `{h1_fold} * (P+1) + {h2_fold}` and this expression are
+    value-identical (pinned by tests/test_span_dedup.py). Halves the
+    per-position interpreted-lambda work vs two aggregate() calls, each
+    re-slicing the window (higher-order lambdas are interpreted, guide §4.1;
+    measured ~1.7x on the gram-hash stage at sf0.1). Overflow headroom:
+    (acc >> 31) * B1 + t < 2^31 * 2^20 = 2^51; h1 * 2^31 < 2^62."""
+    return (
+        f"aggregate(slice(tokens, i + 1, {w}), CAST(0 AS BIGINT), "
+        f"(acc, t) -> pmod(shiftright(acc, 31) * {SPAN_B1} + t, {SPAN_P}) * {SPAN_P + 1} + "
+        f"pmod((acc & {SPAN_P}) * {SPAN_B2} + t, {SPAN_P}))"
+    )
+
+
 def span_dedup_stats_hashed(tokens_df: DataFrame, w: int = SPAN_W) -> DataFrame:
     """Scale path, output-identical to span_dedup_stats (pytest-pinned):
 
@@ -352,8 +368,7 @@ def span_dedup_stats_hashed(tokens_df: DataFrame, w: int = SPAN_W) -> DataFrame:
     """
     grams = F.expr(
         f"transform(sequence(0, n_tok - {w}), i -> "
-        f"struct(i AS pos, {_rolling_hash_expr(w, SPAN_B1)} * {SPAN_P + 1} + "
-        f"{_rolling_hash_expr(w, SPAN_B2)} AS hk))"
+        f"struct(i AS pos, {_packed_hash_expr(w)} AS hk))"
     )
     # the exploded frame carries ONLY (pos, hk) — 16 bytes/position. Never
     # explode with the tokens array attached: parent columns are physically

@@ -11,6 +11,10 @@ import os
 
 from pyspark.sql import SparkSession
 
+# fixed driver heap (see the extraJavaOptions comment in get_spark);
+# overridable for memory-constrained or larger-scale runs
+_DRIVER_MEM = os.environ.get("SPARK_DRIVER_MEM", "16g")
+
 
 def _shuffle_dir() -> str:
     """tmpfs shuffle dir only when /dev/shm actually has room: a default
@@ -94,11 +98,25 @@ def get_spark(
         # bound), large enough to amortize dispatch (CovSAR chunks its eigh
         # batches for the same reason, library.py:121-127)
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        .config("spark.driver.memory", _DRIVER_MEM)
         # measured: G1 inflates executor CPU up to 5x under 8+ concurrent
         # tasks in one local JVM (allocation-heavy shuffle+Arrow paths);
-        # throughput-oriented ParallelGC cut the flagship wall ~20%
-        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        # throughput-oriented ParallelGC cut the flagship wall ~20%.
+        # -Xms=: this sandbox faults fresh pages at ~0.5 GB/s, so a growing
+        # heap turned young GCs into page-fault storms (one logged 6.3s
+        # young pause was Sys=71s of kernel page allocation, User=4.9s of
+        # actual GC) that landed on random queries as multi-second spikes.
+        # A FIXED heap pre-touched at startup removes them: an 8-query A/B
+        # read 78.4s (lazy 48g) vs 57.1s (pre-touched 16g) with per-query
+        # spread collapsing (repetition_stats 1.3/3.7/5.3 -> 1.2/0.9/0.9).
+        # 16g default keeps the pre-touch inside normal session startup
+        # (21.6s vs 21.2s); a 48g pre-touch would add ~75s per session.
+        # On a real cluster the analogue is the standard fixed-size
+        # executor heap — lazy heap growth is a local-mode artifact.
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-XX:+UseParallelGC -Xms{_DRIVER_MEM} -XX:+AlwaysPreTouch",
+        )
         # local mode: shuffle through tmpfs when present (a real cluster sets
         # its own local dirs; this only affects the sandbox benchmarks)
         .config("spark.local.dir", _shuffle_dir())

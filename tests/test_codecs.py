@@ -7,9 +7,13 @@ import pytest
 
 from covsar_spark.operators.codecs import (
     decode_dod,
+    decode_dod_many,
     decode_xor,
+    decode_xor_many,
     encode_dod,
+    encode_dod_many,
     encode_xor,
+    encode_xor_many,
 )
 
 
@@ -99,6 +103,46 @@ def test_xor_roundtrip_random(n):
     v = np.where(rng.random(n) < 0.2, 100.0, v)  # runs of equal values
     got = decode_xor(encode_xor(v), n)
     assert np.array_equal(got.view(np.uint64), v.view(np.uint64))
+
+
+def test_segmented_decode_matches_scalar():
+    """decode_*_many (vectorized lockstep rounds across segments, the r9
+    decompress hot-path rewrite) must be BIT-identical to per-blob
+    decode_dod/decode_xor on segments exercising every dod bucket, the
+    zero-XOR path, empty and length-1 segments, and mixed lengths."""
+    rng = np.random.default_rng(7)
+    ts_list, val_list = [], []
+    for _ in range(200):
+        n = int(rng.integers(0, 70))
+        base = int(rng.integers(0, 1 << 40))
+        steps = rng.choice(
+            [60, 61, 59, 3600, -120, 10**7, 10**12 // 7],
+            size=max(n - 1, 0),
+            p=[0.6, 0.1, 0.1, 0.08, 0.06, 0.04, 0.02],
+        )
+        ts = np.concatenate([[base], base + np.cumsum(steps)]) if n else np.zeros(0, np.int64)
+        ts_list.append(ts.astype(np.int64))
+        scale = 10.0 ** rng.integers(-3, 9, size=n).astype(np.float64)
+        vals = np.where(rng.random(n) < 0.4, 0.0, rng.normal(size=n) * scale)
+        if n > 3:
+            vals[2] = vals[1]  # zero-XOR control path
+        val_list.append(vals.astype(np.float64))
+    ns = np.array([len(a) for a in ts_list], dtype=np.int64)
+    tb = [encode_dod(a) for a in ts_list]
+    vb = [encode_xor(a) for a in val_list]
+    assert tb == encode_dod_many(ts_list)
+    assert vb == encode_xor_many(val_list)
+    ref_ts = np.concatenate([decode_dod(b, int(n)) for b, n in zip(tb, ns)])
+    ref_vs = np.concatenate([decode_xor(b, int(n)) for b, n in zip(vb, ns)])
+    assert np.array_equal(decode_dod_many(tb, ns), ref_ts)
+    assert np.array_equal(
+        decode_xor_many(vb, ns).view(np.uint64), ref_vs.view(np.uint64)
+    )
+
+
+def test_segmented_decode_empty_batch():
+    assert decode_dod_many([], np.zeros(0, np.int64)).size == 0
+    assert decode_xor_many([], np.zeros(0, np.int64)).size == 0
 
 
 def test_compression_wins_on_regular_data():

@@ -440,6 +440,38 @@ def test_counter_increase_single_exchange(spark):
     assert "Python" not in plan
 
 
+def test_counter_increase_window_local_lag(spark):
+    """r9 decomposition (r8 verdict #1): the operator's sample-level lag
+    partitions by (keys, WINDOW) like its four siblings — a series' full
+    history never sorts in one task — and the only per-(keys) window left
+    runs over the AGGREGATED one-row-per-window boundary table. Pinned on
+    the raw operator (no fixture cumsum in the way)."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from covsar_spark.operators.counters import counter_increase
+
+    df = spark.range(100).select(
+        (F.col("id") % 3).cast("string").alias("source"),
+        (F.col("id") * 97).alias("epoch_s"),
+        (F.col("id") * 5).alias("ctr"),
+    )
+    out = counter_increase(df, "ctr", keys=("source",), ts_col="epoch_s", tier_s=3600)
+    plan = _plan(out)
+    # the lag over SAMPLES must partition by (source, window-epoch): its
+    # windowspecdefinition lists two partition columns before the _ts order
+    assert re.search(
+        r"lag\(_c#\d+.*windowspecdefinition\(source#\d+, epoch_s#\d+L?, _ts#", plan
+    ), plan
+    # no sample-level window partitioned by source alone: every
+    # source-only windowspec must be the boundary lag over _last_c
+    for m in re.finditer(r"windowspecdefinition\(source#\d+L?, epoch_s#\d+L? ASC", plan):
+        ctx = plan[max(0, m.start() - 120): m.start()]
+        assert "_last_c" in ctx, plan
+    assert "Python" not in plan
+
+
 def test_time_weighted_avg_single_exchange(spark):
     """LOCF weights: the lead() window partitions by (source, window) and
     the rollup groups by the same keys, so the whole operator is one
