@@ -1352,10 +1352,12 @@ def closure_invert(spark, sf_dir):
 def _span_kernel(spark, sf_dir, emit_pairs: bool = True):
     from .operators.closure_correct import closure_correct
 
-    # zero gap-fill first: dense spans (20 epochs after the files[:20]-style
-    # cap) exercise the full correction path, not the degenerate n<3 branch
-    roll = gapfill(_events_1m(spark, sf_dir), "1m", "zero")
-    return closure_correct(roll, "1m", emit_pairs=emit_pairs)
+    # zero gap-fill (dense spans: 20 epochs after the files[:20]-style cap
+    # exercise the full correction path, not the degenerate n<3 branch) —
+    # done INSIDE the kernel from the sparse rollup (r9, operators/spanfill:
+    # only observed rows shuffle; output pinned == the relational
+    # gapfill-then-kernel chain in tests/test_spanfill.py)
+    return closure_correct(_events_1m(spark, sf_dir), "1m", emit_pairs=emit_pairs, fill="zero")
 
 
 @register("closure_pair_correction")
@@ -1932,8 +1934,9 @@ def embedding_norms(spark, sf_dir):
 def eigen_1m(spark, sf_dir):
     from .operators.eigen import eigen_rollup
 
-    roll = gapfill(_events_1m(spark, sf_dir), "1m", "zero")
-    e = eigen_rollup(roll, "1m")
+    # in-kernel zero fill (r9, operators/spanfill; == gapfill-then-kernel,
+    # tests/test_spanfill.py)
+    e = eigen_rollup(_events_1m(spark, sf_dir), "1m", fill="zero")
     return e.select(
         "source", "span_s", "n_epochs",
         F.round("lam", 6).cast("double").alias("lam"),
@@ -1951,8 +1954,7 @@ def nl_phase_fit_1m(spark, sf_dir):
     recovery / batch==single / loop-oracle goldens in tests/test_nlfit.py."""
     from .operators.nlfit import nlfit_rollup
 
-    roll = gapfill(_events_1m(spark, sf_dir), "1m", "zero")
-    r = nlfit_rollup(roll, "1m")
+    r = nlfit_rollup(_events_1m(spark, sf_dir), "1m", fill="zero")
     return r.select(
         "source", "span_s", "n_epochs", "n_pairs",
         F.round("s_grid", 6).cast("double").alias("s_grid"),
@@ -1973,8 +1975,7 @@ def eigen_mle_1m(spark, sf_dir):
     low-coherence superiority over EVD)."""
     from .operators.eigen import eigen_rollup
 
-    roll = gapfill(_events_1m(spark, sf_dir), "1m", "zero")
-    e = eigen_rollup(roll, "1m", method="mle")
+    e = eigen_rollup(_events_1m(spark, sf_dir), "1m", method="mle", fill="zero")
     return e.select(
         "source", "span_s", "n_epochs",
         F.round("lam", 6).cast("double").alias("lam"),
@@ -2006,8 +2007,7 @@ def eigen_complex_1m(spark, sf_dir):
 def compress_chunks(spark, sf_dir):
     from .operators.compress import compress_rollup
 
-    roll = gapfill(_events_1m(spark, sf_dir), "1m", "zero")
-    ch = compress_rollup(roll, "1m", value_col="rate")
+    ch = compress_rollup(_events_1m(spark, sf_dir), "1m", value_col="rate", fill="zero")
     return ch.select(
         "source", "span_s", "n_points",
         F.length("ts_blob").alias("ts_bytes"),
@@ -2034,8 +2034,7 @@ def codec_roundtrip(spark, sf_dir):
     lossless through the whole Spark path, not just in unit tests."""
     from .operators.compress import compress_rollup, decompress_chunks
 
-    roll = gapfill(_events_1m(spark, sf_dir), "1m", "zero")
-    chunks = compress_rollup(roll, "1m", value_col="rate")
+    chunks = compress_rollup(_events_1m(spark, sf_dir), "1m", value_col="rate", fill="zero")
     pts = decompress_chunks(chunks)
     return pts.select(
         "source", "epoch_s", F.round("val", 6).cast("double").alias("rate")

@@ -288,25 +288,23 @@ def closure_correct(
     max_epochs: int = MAX_EPOCHS,
     spans_per_bucket: int = 64,
     emit_pairs: bool = True,
+    fill: str | None = None,
 ) -> DataFrame:
     """Grouped correction kernel: one span row per (source, eigen-span) with
     fit/drift/chi2 stats (+ pair arrays when ``emit_pairs``). One shuffle,
     span-bucketed like operators/eigen.eigen_rollup (many spans per Arrow
     batch). ``emit_pairs=False`` keeps the P-sized arrays out of the Arrow
     return path when only the stats are consumed (~190 doubles x 3 per span
-    saved)."""
-    with_span = with_span_bucket(
-        rollup, tier, spans_per_bucket, F.col(value_col).cast("double").alias("val")
-    )
+    saved).
+
+    ``fill="zero"``: take the RAW (sparse) rollup and zero-fill each span's
+    dense grid INSIDE the kernel via the sentinel prep (operators/spanfill)
+    — output-identical to feeding `gapfill(rollup, tier, "zero")` here
+    (pinned in tests/test_spanfill.py) but only observed rows shuffle
+    instead of the dense grid (21x fewer at sf0.1's gap fraction)."""
     schema = _SPAN_SCHEMA if emit_pairs else _STATS_SCHEMA
 
-    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
-        keys, series = [], []
-        for (src, sp), g in pdf.groupby(["source", "span_s"], sort=True):
-            g = g.sort_values("epoch_s", kind="mergesort")
-            keys.append((src, sp))
-            series.append(g["val"].to_numpy(np.float64)[:max_epochs])
-        results = correct_span_batch(series)
+    def rows_from(keys, results) -> pd.DataFrame:
         if emit_pairs:
             rows = [
                 (
@@ -328,6 +326,28 @@ def closure_correct(
                 for (src, sp), res in zip(keys, results)
             ]
         return pd.DataFrame(rows, columns=[f.name for f in schema.fields])
+
+    if fill is not None:
+        if fill != "zero":
+            raise ValueError(f"only fill='zero' is kernel-fillable, got {fill!r}")
+        from .spanfill import dense_span_kernel
+
+        def batch_fn(keys, grids, series):
+            return rows_from(keys, correct_span_batch([v[:max_epochs] for v in series]))
+
+        return dense_span_kernel(rollup, tier, value_col, batch_fn, schema)
+
+    with_span = with_span_bucket(
+        rollup, tier, spans_per_bucket, F.col(value_col).cast("double").alias("val")
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        keys, series = [], []
+        for (src, sp), g in pdf.groupby(["source", "span_s"], sort=True):
+            g = g.sort_values("epoch_s", kind="mergesort")
+            keys.append((src, sp))
+            series.append(g["val"].to_numpy(np.float64)[:max_epochs])
+        return rows_from(keys, correct_span_batch(series))
 
     return with_span.groupBy("source", "_bkt").applyInPandas(kernel, schema)
 

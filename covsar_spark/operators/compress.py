@@ -26,14 +26,40 @@ from .codecs import decode_dod_many, decode_xor_many, encode_dod_many, encode_xo
 
 
 def compress_rollup(
-    rollup: DataFrame, tier: str, value_col: str = "rate", spans_per_bucket: int = 64
+    rollup: DataFrame, tier: str, value_col: str = "rate", spans_per_bucket: int = 64,
+    fill: str | None = None,
 ) -> DataFrame:
     """tier rollup -> one compressed chunk row per (source, eigen-span).
 
     Grouped by (source, span-bucket), NOT per span: one Arrow round-trip
     carries many spans; the kernel splits locally (same shape as the eigen
     kernel — per-span groups are too small to amortize UDF overhead).
+
+    ``fill="zero"``: zero-fill the dense grid INSIDE the kernel from the
+    raw rollup (operators/spanfill) — output-identical to compressing
+    `gapfill(rollup, tier, "zero")` (tests/test_spanfill.py) with only
+    observed rows shuffled; the dense timestamps are manufactured at the
+    encoder, which is also where they compress best.
     """
+    if fill is not None:
+        if fill != "zero":
+            raise ValueError(f"only fill='zero' is kernel-fillable, got {fill!r}")
+        from .spanfill import dense_span_kernel
+
+        def batch_fn(keys, grids, series):
+            return pd.DataFrame(
+                {
+                    "source": [k[0] for k in keys],
+                    "span_s": [k[1] for k in keys],
+                    "n_points": [len(g) for g in grids],
+                    "ts_blob": encode_dod_many(grids),
+                    "val_blob": encode_xor_many(series),
+                },
+                columns=["source", "span_s", "n_points", "ts_blob", "val_blob"],
+            )
+
+        return dense_span_kernel(rollup, tier, value_col, batch_fn, CHUNK_SCHEMA)
+
     with_span = with_span_bucket(
         rollup, tier, spans_per_bucket, F.col(value_col).cast("double").alias("val")
     )

@@ -214,8 +214,14 @@ def eigen_rollup(
     value_col: str = "token_count",
     spans_per_bucket: int = 64,
     method: str = "evd",
+    fill: str | None = None,
 ) -> DataFrame:
     """Per-(source, eigen-span) linked eigenpair of the lag-cov Gram.
+
+    ``fill="zero"``: zero-fill the dense grid INSIDE the kernel from the
+    raw rollup (operators/spanfill) — output-identical to passing
+    `gapfill(rollup, tier, "zero")` (tests/test_spanfill.py) with only
+    observed rows shuffled.
 
     ``method`` mirrors the reference's EIG|MLE|NN dispatch
     (covsar/closure_inten.py:502-520): 'evd' = dominant eigenvector of G
@@ -237,6 +243,32 @@ def eigen_rollup(
     """
     if method not in ("evd", "mle"):
         raise ValueError(f"method must be 'evd' or 'mle', got {method!r}")
+
+    def rows_from(keys, series) -> pd.DataFrame:
+        res = lagcov_eig_batch(series, p, method)
+        return pd.DataFrame(
+            {
+                "source": [k[0] for k in keys],
+                "span_s": [k[1] for k in keys],
+                "n_epochs": [k[2] for k in keys],
+                "lam": [r[0] for r in res],
+                "tc": [r[1] for r in res],
+                "eig": [r[2] for r in res],
+            }
+        )
+
+    if fill is not None:
+        if fill != "zero":
+            raise ValueError(f"only fill='zero' is kernel-fillable, got {fill!r}")
+        from .spanfill import dense_span_kernel
+
+        def batch_fn(keys, grids, series):
+            return rows_from(
+                [(s, sp, len(v)) for (s, sp), v in zip(keys, series)], series
+            )
+
+        return dense_span_kernel(rollup, tier, value_col, batch_fn, EIGEN_SCHEMA)
+
     with_span = with_span_bucket(
         rollup, tier, spans_per_bucket, F.col(value_col).cast("double").alias("val")
     )
@@ -249,17 +281,7 @@ def eigen_rollup(
             g = g.sort_values("epoch_s", kind="mergesort")
             keys.append((src, sp, len(g)))
             series.append(g["val"].to_numpy(np.float64))
-        res = lagcov_eig_batch(series, p, method)
-        return pd.DataFrame(
-            {
-                "source": [k[0] for k in keys],
-                "span_s": [k[1] for k in keys],
-                "n_epochs": [k[2] for k in keys],
-                "lam": [r[0] for r in res],
-                "tc": [r[1] for r in res],
-                "eig": [r[2] for r in res],
-            }
-        )
+        return rows_from(keys, series)
 
     return with_span.groupBy("source", "_bkt").applyInPandas(kernel, EIGEN_SCHEMA)
 

@@ -114,6 +114,7 @@ def nlfit_rollup(
     value_col: str = "token_count",
     spans_per_bucket: int = 64,
     max_epochs: int = 12,
+    fill: str | None = None,
 ) -> DataFrame:
     """Per-(source, eigen-span) nonlinear fit of the pair-phase model.
 
@@ -122,7 +123,20 @@ def nlfit_rollup(
     count runs ONE vectorized grid + Gauss-Newton pass. Spans are capped at
     ``max_epochs`` epochs (C(12,2)=66 pairs) exactly like the reference's
     per-pixel stack cap.
+
+    ``fill="zero"``: in-kernel dense-grid zero fill from the raw rollup
+    (operators/spanfill; output-identical, tests/test_spanfill.py).
     """
+    if fill is not None:
+        if fill != "zero":
+            raise ValueError(f"only fill='zero' is kernel-fillable, got {fill!r}")
+        from .spanfill import dense_span_kernel
+
+        def batch_fn(keys, grids, series):
+            return _nlfit_rows(keys, [v[:max_epochs] for v in series])
+
+        return dense_span_kernel(rollup, tier, value_col, batch_fn, NLFIT_SCHEMA)
+
     with_span = with_span_bucket(
         rollup, tier, spans_per_bucket, F.col(value_col).cast("double").alias("val")
     )
@@ -133,39 +147,46 @@ def nlfit_rollup(
             g = g.sort_values("epoch_s", kind="mergesort").head(max_epochs)
             keys.append((src, sp))
             series.append(g["val"].to_numpy(np.float64))
-        out = {
-            "source": [], "span_s": [], "n_epochs": [], "n_pairs": [],
-            "s_grid": [], "s_fit": [], "n_iter": [], "resid_l1": [],
-        }
-        by_len: dict[int, list[int]] = {}
-        for i, s in enumerate(series):
-            by_len.setdefault(len(s), []).append(i)
-        for n, idxs in by_len.items():
-            if n < 2:
-                for i in idxs:
-                    out["source"].append(keys[i][0])
-                    out["span_s"].append(keys[i][1])
-                    out["n_epochs"].append(n)
-                    out["n_pairs"].append(0)
-                    out["s_grid"].append(None)
-                    out["s_fit"].append(None)
-                    out["n_iter"].append(0)
-                    out["resid_l1"].append(None)
-                continue
-            V = np.stack([series[i] for i in idxs])  # (B, n)
-            ii, jj = np.triu_indices(n, 1)
-            X = 10.0 * (np.log10(V[:, ii] + 1.0) - np.log10(V[:, jj] + 1.0))
-            PH = np.exp(1j * np.cbrt(V[:, ii] - V[:, jj]))
-            sg, sf, ni, rl = nl_fit_stack(PH, X)
-            for b, i in enumerate(idxs):
+        return _nlfit_rows(keys, series)
+
+    return with_span.groupBy("source", "_bkt").applyInPandas(kernel, NLFIT_SCHEMA)
+
+
+def _nlfit_rows(keys, series) -> pd.DataFrame:
+    """Shared row builder for both nlfit paths (relational-fill and
+    in-kernel-fill): one vectorized grid + Gauss-Newton pass per distinct
+    epoch count."""
+    out = {
+        "source": [], "span_s": [], "n_epochs": [], "n_pairs": [],
+        "s_grid": [], "s_fit": [], "n_iter": [], "resid_l1": [],
+    }
+    by_len: dict[int, list[int]] = {}
+    for i, s in enumerate(series):
+        by_len.setdefault(len(s), []).append(i)
+    for n, idxs in by_len.items():
+        if n < 2:
+            for i in idxs:
                 out["source"].append(keys[i][0])
                 out["span_s"].append(keys[i][1])
                 out["n_epochs"].append(n)
-                out["n_pairs"].append(len(ii))
-                out["s_grid"].append(float(sg[b]))
-                out["s_fit"].append(float(sf[b]))
-                out["n_iter"].append(int(ni[b]))
-                out["resid_l1"].append(float(rl[b]))
-        return pd.DataFrame(out)
-
-    return with_span.groupBy("source", "_bkt").applyInPandas(kernel, NLFIT_SCHEMA)
+                out["n_pairs"].append(0)
+                out["s_grid"].append(None)
+                out["s_fit"].append(None)
+                out["n_iter"].append(0)
+                out["resid_l1"].append(None)
+            continue
+        V = np.stack([series[i] for i in idxs])  # (B, n)
+        ii, jj = np.triu_indices(n, 1)
+        X = 10.0 * (np.log10(V[:, ii] + 1.0) - np.log10(V[:, jj] + 1.0))
+        PH = np.exp(1j * np.cbrt(V[:, ii] - V[:, jj]))
+        sg, sf, ni, rl = nl_fit_stack(PH, X)
+        for b, i in enumerate(idxs):
+            out["source"].append(keys[i][0])
+            out["span_s"].append(keys[i][1])
+            out["n_epochs"].append(n)
+            out["n_pairs"].append(len(ii))
+            out["s_grid"].append(float(sg[b]))
+            out["s_fit"].append(float(sf[b]))
+            out["n_iter"].append(int(ni[b]))
+            out["resid_l1"].append(float(rl[b]))
+    return pd.DataFrame(out)
