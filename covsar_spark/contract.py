@@ -41,6 +41,13 @@ def register(name: str, sql: str | None = None):
 
 
 _SCHEMA_MEMO: dict[tuple[str, str], object] = {}
+_FANOUT_MEMO: dict[tuple[str, str], bool] = {}
+
+# tables whose per-row scan-stage work is heavy (regex split, md5-per-word,
+# shingle explode, vector math) AND whose downstream aggregates are all
+# order-free (counts, min/max, bit_xor) or row-local — fan-out cannot move
+# any float sum across partitions that was not already crossing one
+_FANOUT_TABLES = frozenset({"documents", "embeddings"})
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -50,15 +57,38 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     (and memoizes the exact inferred StructType — zero parity risk); later
     reads pass it explicitly and launch no job at plan build. Unlike a row
     COUNT memo (the documented stale-memo hazard in similarity.py), a
-    table's schema does not change when files are appended."""
+    table's schema does not change when files are appended.
+
+    Scan fan-out (r9, guide §2.5/§6.1): the driver test tables are single
+    row-group parquet files, so every scan is ONE task and all per-row text
+    work (regex tokenization, md5 per word, shingle explodes) ran
+    single-threaded before the first exchange — event-log profiling showed
+    span_dedup spending 2.6 core-seconds over a 2.2s wall on 32 cores. For
+    the heavy-text tables a round-robin repartition to the session's
+    parallelism fans the scan out (a few MB shuffled once). SCALE-ADAPTIVE:
+    it only fires when the scan has fewer splits than the session's
+    parallelism, so a multi-split cluster-scale input skips the extra
+    exchange entirely; the decision is memoized per (sf_dir, table)."""
     key = (sf_dir, name)
     path = f"{sf_dir}/{name}.parquet"
     sch = _SCHEMA_MEMO.get(key)
     if sch is None:
         df = spark.read.parquet(path)
         _SCHEMA_MEMO[key] = df.schema
-        return df
-    return spark.read.schema(sch).parquet(path)
+    else:
+        df = spark.read.schema(sch).parquet(path)
+    if name in _FANOUT_TABLES:
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        fan = _FANOUT_MEMO.get(key)
+        if fan is None:
+            try:
+                fan = df.rdd.getNumPartitions() * 2 <= n_part
+            except Exception:
+                fan = False
+            _FANOUT_MEMO[key] = fan
+        if fan:
+            return df.repartition(n_part)
+    return df
 
 
 def _parquet_rows(sf_dir: str, name: str) -> int:
