@@ -50,7 +50,7 @@ _FANOUT_MEMO: dict[tuple[str, str], bool] = {}
 _FANOUT_TABLES = frozenset({"documents", "embeddings"})
 
 
-def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _read(spark: SparkSession, sf_dir: str, name: str, fanout: bool = False) -> DataFrame:
     """Parquet read with a per-(sf_dir, table) schema memo: every bare
     `spark.read.parquet` call runs one footer schema-inference JOB, so a
     50-entry driver pass used to pay hundreds of them. First touch infers
@@ -77,7 +77,11 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         _SCHEMA_MEMO[key] = df.schema
     else:
         df = spark.read.schema(sch).parquet(path)
-    if name in _FANOUT_TABLES:
+    if fanout or name in _FANOUT_TABLES:
+        # ``fanout=True`` opts individual entries in for other tables —
+        # ONLY valid when every downstream float aggregate is order-free
+        # (max/count/exact percentile) or row-local: a round-robin shuffle
+        # re-rolls float partial-merge order (see the sketch entries)
         n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
         fan = _FANOUT_MEMO.get(key)
         if fan is None:
@@ -3126,7 +3130,12 @@ def cms_user_freq(spark, sf_dir):
     (operators/sketches.py cms_daily_estimates)."""
     from .operators.sketches import cms_daily_estimates
 
-    return cms_daily_estimates(_read(spark, sf_dir, "events"), key="user_id")
+    # fanout (order-free counter-matrix counts only): the d=4 salted md5s
+    # per row are the heaviest per-row scan work of the events family —
+    # measured win; the hll/hdr siblings stay single-scan (their per-row
+    # work is one md5 / pure integer ops — the extra exchange cost more
+    # than it saved, A/B-measured)
+    return cms_daily_estimates(_read(spark, sf_dir, "events", fanout=True), key="user_id")
 
 
 # liveness interval: a beat asserts 15 minutes of uptime
@@ -3259,10 +3268,11 @@ def state_durations_1h(spark, sf_dir):
 def ohlc_1h(spark, sf_dir):
     """Open/high/low/close candlestick rollup per (source, hour) over
     value-cents — TimescaleDB ohlc()/candlestick_agg semantics
-    (operators/counters.ohlc). First/last are (ts, event_id)-ordered
-    row_number picks over the SAME (source, window) partitioning the
-    aggregation groups on: one shuffle end to end, fully tie-deterministic,
-    pure int64."""
+    (operators/counters.ohlc). Open/close are min_by/max_by over the
+    (ts, event_id) struct — declarative aggregates, so the whole operator
+    is ONE partial-aggregable groupBy (map-side combine, one exchange, no
+    per-partition sort; plan-pinned in tests/test_plans.py), fully
+    tie-deterministic, pure int64."""
     from .operators.counters import ohlc
 
     ev = _read(spark, sf_dir, "events")

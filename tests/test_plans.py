@@ -152,12 +152,15 @@ def test_lc_window_stats_single_aggregate(spark):
 
 
 def test_minhash_single_shuffle_partial_agg(spark):
-    """All 16 mins in one aggregate: exactly one exchange (doc_id), with
-    map-side partial mins — the param cross-join shuffled rows x16."""
+    """All 16 mins in one aggregate: exactly one HASH exchange (doc_id),
+    with map-side partial mins — the param cross-join shuffled rows x16.
+    (The r9 single-split scan fan-out adds one ROUND-ROBIN exchange of the
+    raw docs below it; that one disappears on multi-split inputs.)"""
     from covsar_spark.contract import QUERIES
 
     plan = _plan(QUERIES["minhash_signatures"](spark, "/root/testdata/sf0.001"))
-    assert plan.count("Exchange") == 1
+    assert plan.count("hashpartitioning") == 1
+    assert plan.count("Exchange") <= 2
     assert "partial_min" in plan
 
 
