@@ -398,7 +398,14 @@ def ivf_assign_udf(n_lists: int = 16, seed: int = 77, top: int = 1):
         order = np.argsort(-comp, axis=1)[:, :top]
         return pd.Series([row.astype(np.int32) for row in order])
 
-    return assign
+    # asNondeterministic: the assignment IS deterministic (md5 centroids),
+    # but without this the optimizer pushes the join's implicit
+    # isnotnull(list_id) filter BELOW the projection and re-evaluates the
+    # UDF on both sides (guide §4.4) — the plan showed two chained
+    # ArrowEvalPython nodes per scan, each needing its own Python worker
+    # per task (2x the warm pool; the first execution forked+imported 32
+    # extra workers inside its wall: 11.8s one-shot vs 1.4s steady).
+    return assign.asNondeterministic()
 
 
 def ivf_topk(
@@ -451,7 +458,14 @@ def ivf_topk(
         "list_id", ivf_assign_udf(n_lists, seed, top=1)(F.col("embedding"))[0]
     )
     q = (
+        # the query side is n_queries rows by construction: collapse it to
+        # ONE partition before the assign UDF so the broadcast-side subtree
+        # is one task holding one Python worker, not a scan-parallelism fan
+        # of tasks each holding a worker concurrently with the corpus stage
+        # (repartition AFTER the filter: the scan+filter stay parallel, only
+        # the surviving handful of rows shuffle)
         emb.filter(F.col("vec_id") < n_queries)
+        .repartition(1)
         .withColumn("probes", ivf_assign_udf(n_lists, seed, top=n_probe)(F.col("embedding")))
         .select(
             F.col("vec_id").alias("query_id"),
