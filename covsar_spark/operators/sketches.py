@@ -343,11 +343,19 @@ def cms_daily_estimates(
     one-sided guarantee — est ≥ exact, always — is visible per row next to
     the exact count.
 
-    Scale shape: raw→matrix is one map-side-combinable shuffle keyed
-    (day, hour, j, bucket) over d× the input rows; the cascade and the
+    Scale shape (r9 restructure): the RAW table is scanned ONCE, into a
+    (day, hour, key)-keyed pre-aggregate — the md5 bucket functions depend
+    only on the key, so hashing per DISTINCT (window, key) instead of per
+    row is value-identical and shrinks the hash work by the key-repetition
+    factor; every other input (daily per-key counts, probe set, day list,
+    exact counts) derives from that aggregate instead of re-scanning raw.
+    The matrix shuffles stay map-side-combinable; the cascade and the
     estimator touch only matrix rows (≤ days × d × w) and the tiny probe
     grid — at 10^12 rows the frequency answer costs d broadcast lookups
-    per probe instead of a full groupBy over every key.
+    per probe instead of a full groupBy over every key. The direct-vs-
+    cascade self-check keeps two genuinely different aggregation
+    topologies: single-level (daily per-key counts → matrix) vs two-level
+    (hourly matrix → SUM-merged daily matrix).
     """
     legs = ", ".join(
         f"{j}, CAST({cms_bucket_sql(_spark_hash40_salted(j, 'k'))} AS INT)"
@@ -358,37 +366,41 @@ def cms_daily_estimates(
         "unix_timestamp(date_trunc('hour', ts)) AS hour_s",
         f"CAST({key} AS BIGINT) AS k",
     )
-    keyed = base.selectExpr("day_s", "hour_s", f"stack({CMS_D}, {legs}) AS (j, bucket)")
-    hourly = keyed.groupBy("day_s", "hour_s", "j", "bucket").agg(
-        F.count(F.lit(1)).alias("cnt")
+    # one scan: per-(day, hour, key) counts (map-side combine); everything
+    # below derives from this ~distinct-keys-sized frame
+    dhk = base.groupBy("day_s", "hour_s", "k").agg(F.count(F.lit(1)).alias("cnt"))
+    dk = dhk.groupBy("day_s", "k").agg(F.sum("cnt").alias("cnt"))
+
+    hourly = (
+        dhk.selectExpr("day_s", "hour_s", "cnt", f"stack({CMS_D}, {legs}) AS (j, bucket)")
+        .groupBy("day_s", "hour_s", "j", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
     )
     daily_cascade = hourly.groupBy("day_s", "j", "bucket").agg(F.sum("cnt").alias("cnt"))
-    daily_direct = keyed.groupBy("day_s", "j", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
-
-    probes = (
-        base.select("k").where(F.col("k") % probe_mod == 0).distinct()
+    daily_direct = (
+        dk.selectExpr("day_s", "cnt", f"stack({CMS_D}, {legs}) AS (j, bucket)")
+        .groupBy("day_s", "j", "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
     )
+
+    probes = dk.select("k").where(F.col("k") % probe_mod == 0).distinct()
     probe_legs = ", ".join(
         f"{j}, CAST({cms_bucket_sql(_spark_hash40_salted(j, 'k'))} AS INT)"
         for j in range(CMS_D)
     )
     probe_buckets = probes.selectExpr("k", f"stack({CMS_D}, {probe_legs}) AS (j, bucket)")
-    days = base.select("day_s").distinct()
+    days = dk.select("day_s").distinct()
     grid = days.crossJoin(F.broadcast(probe_buckets))
 
     def estimate(matrix: DataFrame, out: str) -> DataFrame:
-        cell = grid.join(matrix, ["day_s", "j", "bucket"], "left").select(
+        cell = grid.join(F.broadcast(matrix), ["day_s", "j", "bucket"], "left").select(
             "day_s", "k", F.coalesce(F.col("cnt"), F.lit(0)).alias("cnt")
         )
         return cell.groupBy("day_s", "k").agg(F.min("cnt").cast("long").alias(out))
 
     exact = (
         days.crossJoin(F.broadcast(probes))
-        .join(
-            base.groupBy("day_s", "k").agg(F.count(F.lit(1)).alias("n")),
-            ["day_s", "k"],
-            "left",
-        )
+        .join(dk.select("day_s", "k", F.col("cnt").alias("n")), ["day_s", "k"], "left")
         .select("day_s", "k", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_exact"))
     )
     return (
