@@ -140,7 +140,10 @@ def lttb(
         out["sel_rank"] = np.arange(len(idx), dtype=np.int64)
         return out
 
-    res = src.groupBy(*gcols).applyInPandas(pick, out_schema)
+    # pinned-width kernel exchange (see operators/spanbucket.py): AQE sizes
+    # by shuffle bytes and would run every series' LTTB pick in one task
+    n_part = int(src.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    res = src.repartition(n_part, *gcols).groupBy(*gcols).applyInPandas(pick, out_schema)
     if chunk_s is not None:
         res = res.drop("_chunk")
     return res.withColumnsRenamed({"_x": x_col, "_y": y_col})

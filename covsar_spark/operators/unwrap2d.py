@@ -234,6 +234,18 @@ def _grid_from_pdf(pdf: pd.DataFrame, y: str, x: str, phase: str) -> tuple[np.nd
     return g, int(y0), int(x0)
 
 
+def _grouped_kernel(df: DataFrame, keys: list[str], fn, schema) -> DataFrame:
+    """groupBy(keys).applyInPandas with the kernel exchange pinned at the
+    configured shuffle-partition count: the explicit repartition satisfies
+    the grouping's ClusteredDistribution (no second exchange) and is
+    exempt from AQE coalescing — AQE sizes stages by shuffle BYTES and
+    collapsed these pixel-kernel stages to one partition, serializing
+    every tile/raster solve into a single task (same finding as
+    operators/spanbucket.py; AQE cannot see per-row Python CPU)."""
+    n_part = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return df.repartition(n_part, *keys).groupBy(*keys).applyInPandas(fn, schema)
+
+
 def unwrap_2d(
     df: DataFrame,
     part_cols: list[str],
@@ -258,7 +270,7 @@ def unwrap_2d(
         res[out] = phi.ravel()
         return pd.DataFrame(res)
 
-    return df.groupBy(*part_cols).applyInPandas(solve, schema)
+    return _grouped_kernel(df, part_cols, solve, schema)
 
 
 def unwrap_2d_masked(
@@ -298,7 +310,7 @@ def unwrap_2d_masked(
         res[out] = phi[yy - y0, xx - x0]
         return pd.DataFrame(res)
 
-    return df.groupBy(*part_cols).applyInPandas(solve, schema)
+    return _grouped_kernel(df, part_cols, solve, schema)
 
 
 def unwrap_2d_tiled(
@@ -626,8 +638,8 @@ def residues_tiled(
         res["charge"] = charge[ai[home], aj[home]]
         return pd.DataFrame(res, columns=[*part_cols, y, x, "charge"])
 
-    return routed.groupBy(*part_cols, "_rty", "_rtx").applyInPandas(
-        kernel, T.StructType(out_fields)
+    return _grouped_kernel(
+        routed, [*part_cols, "_rty", "_rtx"], kernel, T.StructType(out_fields)
     )
 
 
