@@ -367,21 +367,24 @@ def cms_daily_estimates(
         f"CAST({key} AS BIGINT) AS k",
     )
     # one scan: per-(day, hour, key) counts (map-side combine); everything
-    # below derives from this ~distinct-keys-sized frame
+    # below derives from this ~distinct-keys-sized frame, and the bucket
+    # legs are stacked ONCE (a single codegen unit; both matrix legs and
+    # the dhk exchange are shared subtrees AQE executes once)
     dhk = base.groupBy("day_s", "hour_s", "k").agg(F.count(F.lit(1)).alias("cnt"))
     dk = dhk.groupBy("day_s", "k").agg(F.sum("cnt").alias("cnt"))
 
-    hourly = (
-        dhk.selectExpr("day_s", "hour_s", "cnt", f"stack({CMS_D}, {legs}) AS (j, bucket)")
-        .groupBy("day_s", "hour_s", "j", "bucket")
-        .agg(F.sum("cnt").alias("cnt"))
+    stacked = dhk.selectExpr(
+        "day_s", "hour_s", "cnt", f"stack({CMS_D}, {legs}) AS (j, bucket)"
+    )
+    hourly = stacked.groupBy("day_s", "hour_s", "j", "bucket").agg(
+        F.sum("cnt").alias("cnt")
     )
     daily_cascade = hourly.groupBy("day_s", "j", "bucket").agg(F.sum("cnt").alias("cnt"))
-    daily_direct = (
-        dk.selectExpr("day_s", "cnt", f"stack({CMS_D}, {legs}) AS (j, bucket)")
-        .groupBy("day_s", "j", "bucket")
-        .agg(F.sum("cnt").alias("cnt"))
-    )
+    # the DIRECT leg aggregates the same stacked rows in ONE level (day, j,
+    # bucket) — bucketing commutes with summing over hours, so this equals
+    # the old build-from-daily-counts matrix value-for-value while keeping
+    # a genuinely different topology from the hourly→SUM cascade leg
+    daily_direct = stacked.groupBy("day_s", "j", "bucket").agg(F.sum("cnt").alias("cnt"))
 
     probes = dk.select("k").where(F.col("k") % probe_mod == 0).distinct()
     probe_legs = ", ".join(
