@@ -371,7 +371,6 @@ def cms_daily_estimates(
     # legs are stacked ONCE (a single codegen unit; both matrix legs and
     # the dhk exchange are shared subtrees AQE executes once)
     dhk = base.groupBy("day_s", "hour_s", "k").agg(F.count(F.lit(1)).alias("cnt"))
-    dk = dhk.groupBy("day_s", "k").agg(F.sum("cnt").alias("cnt"))
 
     stacked = dhk.selectExpr(
         "day_s", "hour_s", "cnt", f"stack({CMS_D}, {legs}) AS (j, bucket)"
@@ -386,13 +385,16 @@ def cms_daily_estimates(
     # a genuinely different topology from the hourly→SUM cascade leg
     daily_direct = stacked.groupBy("day_s", "j", "bucket").agg(F.sum("cnt").alias("cnt"))
 
-    probes = dk.select("k").where(F.col("k") % probe_mod == 0).distinct()
+    # probes / day list / exact counts branch straight off dhk (no extra
+    # aggregation level on the critical path); exact filters to probe keys
+    # BEFORE aggregating — value-identical for the joined keys
+    probes = dhk.select("k").where(F.col("k") % probe_mod == 0).distinct()
     probe_legs = ", ".join(
         f"{j}, CAST({cms_bucket_sql(_spark_hash40_salted(j, 'k'))} AS INT)"
         for j in range(CMS_D)
     )
     probe_buckets = probes.selectExpr("k", f"stack({CMS_D}, {probe_legs}) AS (j, bucket)")
-    days = dk.select("day_s").distinct()
+    days = dhk.select("day_s").distinct()
     grid = days.crossJoin(F.broadcast(probe_buckets))
 
     def estimate(matrix: DataFrame, out: str) -> DataFrame:
@@ -403,7 +405,13 @@ def cms_daily_estimates(
 
     exact = (
         days.crossJoin(F.broadcast(probes))
-        .join(dk.select("day_s", "k", F.col("cnt").alias("n")), ["day_s", "k"], "left")
+        .join(
+            dhk.where(F.col("k") % probe_mod == 0)
+            .groupBy("day_s", "k")
+            .agg(F.sum("cnt").alias("n")),
+            ["day_s", "k"],
+            "left",
+        )
         .select("day_s", "k", F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_exact"))
     )
     return (
