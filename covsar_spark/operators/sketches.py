@@ -372,7 +372,17 @@ def cms_daily_estimates(
     # the dhk exchange are shared subtrees AQE executes once)
     dhk = base.groupBy("day_s", "hour_s", "k").agg(F.count(F.lit(1)).alias("cnt"))
 
-    stacked = dhk.selectExpr(
+    # pin the stage that evaluates the d x md5 stack at the configured
+    # width: the aggregate exchanges here carry only KBs, so AQE coalesces
+    # their read side to one task and the hash work runs single-threaded
+    # (same bytes-blind collapse as the grouped kernels — AQE cannot see
+    # per-row expression CPU). The explicit post-aggregate repartition is
+    # cheap (distinct-key-sized rows) and exempt from coalescing.
+    # (keyed on (k, hour_s), NOT the aggregate's (day, hour, k): a
+    # repartition on the same keys as the child's hash partitioning is
+    # pruned as redundant and the pin silently vanishes — observed)
+    n_part = int(events.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    stacked = dhk.repartition(n_part, "k", "hour_s").selectExpr(
         "day_s", "hour_s", "cnt", f"stack({CMS_D}, {legs}) AS (j, bucket)"
     )
     hourly = stacked.groupBy("day_s", "hour_s", "j", "bucket").agg(
